@@ -1,0 +1,177 @@
+"""Descriptor search kernels — dense masked Hamming matmuls.
+
+TPU-native redesign of ORBmatcher (src/ORBmatcher.cc, SURVEY.md §2.1):
+where the reference walks per-keypoint grid cells (Frame::GetFeaturesInArea)
+and loops candidate descriptors, we compute the FULL query x keypoint
+Hamming matrix on the MXU and apply the spatial window / octave / threshold
+/ ratio gates as masks. A 1024x1024x256 int8 matmul is ~0.5 GMAC — noise on
+the MXU — so the grid acceleration structure disappears entirely.
+
+All functions are jit-friendly: fixed shapes, validity masks, no host sync.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam_mod
+from ..ops import hamming as H
+
+INVALID = H.DESC_BITS + 1
+
+
+def windowed_match(query_uv, query_signs, query_valid, radius,
+                   kp_uv, kp_signs, kp_octave, kp_valid,
+                   octave_lo=None, octave_hi=None,
+                   th=H.TH_HIGH, nn_ratio=1.0, mutual=True):
+    """Generic windowed descriptor search.
+
+    For each query (projected map point / reference keypoint), find the best
+    target keypoint with |du|,|dv| <= radius, octave in [lo, hi], Hamming
+    <= th, passing the NN-ratio test; optionally enforce mutual-best to
+    resolve duplicate assignments (the reference's "already matched" checks).
+
+    Args:
+      query_uv: (N, 2). query_signs: (N, 256) int8. query_valid: (N,) bool.
+      radius: scalar or (N,) search radius in pixels.
+      kp_*: target frame arrays, (M, ...). octave_lo/hi: (N,) or None.
+    Returns:
+      idx: (N,) int32 — matched keypoint per query, -1 if none.
+      dist: (N,) int32 — Hamming distance of the match (garbage where -1).
+    """
+    D = H.hamming_matrix(query_signs, kp_signs, query_valid, kp_valid,
+                         invalid_dist=INVALID)
+    du = jnp.abs(query_uv[:, None, 0] - kp_uv[None, :, 0])
+    dv = jnp.abs(query_uv[:, None, 1] - kp_uv[None, :, 1])
+    r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), query_uv.shape[:1])
+    in_win = (du <= r[:, None]) & (dv <= r[:, None])
+    if octave_lo is not None:
+        in_oct = ((kp_octave[None, :] >= octave_lo[:, None])
+                  & (kp_octave[None, :] <= octave_hi[:, None]))
+        in_win = in_win & in_oct
+    D = jnp.where(in_win, D, INVALID)
+    idx, dist = H.best_match(D, th=th, nn_ratio=nn_ratio)
+    if mutual:
+        idx_back, _ = H.best_match(jnp.swapaxes(D, 0, 1), th=th, nn_ratio=1.0)
+        idx = H.mutual_filter(idx, idx_back)
+    return idx, dist
+
+
+def search_for_initialization(uv1, signs1, valid1, uv2, signs2, valid2,
+                              window=100.0, th=H.TH_LOW, nn_ratio=0.9,
+                              angles1=None, angles2=None):
+    """Frame-frame search for monocular initialization.
+
+    Parity: ORBmatcher::SearchForInitialization (src/ORBmatcher.cc) —
+    window search around the same location, TH_LOW, ratio 0.9, rotation
+    consistency, mutual-best dedup.
+    """
+    octave0 = jnp.zeros(uv1.shape[0], jnp.int32)
+    idx, dist = windowed_match(
+        uv1, signs1, valid1, window, uv2, signs2,
+        kp_octave=octave0, kp_valid=valid2,
+        th=th, nn_ratio=nn_ratio, mutual=True)
+    if angles1 is not None and angles2 is not None:
+        idx = H.rotation_consistency(angles1, angles2, idx)
+    return idx, dist
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def project_map_points(cam, R_cw, t_cw, xw, normals, dmin, dmax, valid,
+                       n_levels=8, scale_factor=1.2, view_cos_limit=0.5):
+    """Frustum + view-angle + distance gate for map points, with scale
+    prediction. Parity: Frame::isInFrustum (src/Frame.cc:≈290) +
+    MapPoint::PredictScale (src/MapPoint.cc:≈400).
+
+    Returns dict(uv, pred_octave, visible, view_cos).
+    """
+    xc = (R_cw @ xw[..., None])[..., 0] + t_cw
+    z = xc[..., 2]
+    uv = cam_mod.project(cam, xc)
+    in_img = ((uv[..., 0] >= 0) & (uv[..., 0] < cam.width)
+              & (uv[..., 1] >= 0) & (uv[..., 1] < cam.height))
+    ow = -(jnp.swapaxes(R_cw, -1, -2) @ t_cw[..., None])[..., 0]   # cam center
+    po = xw - ow
+    dist = jnp.linalg.norm(po, axis=-1)
+    in_range = (dist >= 0.8 * dmin) & (dist <= 1.2 * dmax)
+    view_cos = jnp.sum(po * normals, -1) / jnp.maximum(dist, 1e-9)
+    # predicted pyramid level from distance (PredictScale)
+    ratio = jnp.maximum(dmax, 1e-9) / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9))
+                   / jnp.log(scale_factor)).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 0, n_levels - 1)
+    visible = valid & (z > 0) & in_img & in_range & (view_cos > view_cos_limit)
+    return dict(uv=uv, pred_octave=lvl, visible=visible, view_cos=view_cos)
+
+
+def search_local_points(cam, R_cw, t_cw, mp_xw, mp_signs, mp_normals,
+                        mp_dmin, mp_dmax, mp_valid,
+                        kp_uv, kp_signs, kp_octave, kp_valid,
+                        th_radius=4.0, th=H.TH_HIGH, nn_ratio=0.8,
+                        n_levels=8, scale_factor=1.2):
+    """Project local-map points into the frame and window-search.
+
+    Parity: Tracking::SearchLocalPoints -> ORBmatcher::SearchByProjection
+    (local-map overload): radius = (2.5 if viewCos > 0.998 else 4.0) *
+    scale^predicted_level, octave window [lvl-1, lvl].
+    Returns (kp match idx per map point (-1 none), visible mask, dist).
+    """
+    proj = project_map_points(cam, R_cw, t_cw, mp_xw, mp_normals,
+                              mp_dmin, mp_dmax, mp_valid,
+                              n_levels=n_levels, scale_factor=scale_factor)
+    scale_pow = scale_factor ** proj["pred_octave"].astype(jnp.float32)
+    base_r = jnp.where(proj["view_cos"] > 0.998, 2.5, th_radius)
+    radius = base_r * scale_pow
+    idx, dist = windowed_match(
+        proj["uv"], mp_signs, proj["visible"], radius,
+        kp_uv, kp_signs, kp_octave, kp_valid,
+        octave_lo=proj["pred_octave"] - 1, octave_hi=proj["pred_octave"],
+        th=th, nn_ratio=nn_ratio, mutual=True)
+    return idx, proj["visible"], dist
+
+
+def search_by_projection_frame(cam, R_cw, t_cw, last_xw, last_signs,
+                               last_octave, last_valid,
+                               kp_uv, kp_signs, kp_octave, kp_valid,
+                               th_radius=7.0, scale_factor=1.2,
+                               th=H.TH_HIGH, angles_q=None, angles_kp=None):
+    """Motion-model search: project last frame's map points with the
+    predicted pose, window radius th * scale^last_octave, octave ±1.
+
+    Parity: ORBmatcher::SearchByProjection(Frame&, Frame&, th, bMono)
+    (src/ORBmatcher.cc — the TrackWithMotionModel path).
+    """
+    xc = (R_cw @ last_xw[..., None])[..., 0] + t_cw
+    uv = cam_mod.project(cam, xc)
+    vis = (xc[..., 2] > 0.05) & last_valid
+    vis &= ((uv[..., 0] >= 0) & (uv[..., 0] < cam.width)
+            & (uv[..., 1] >= 0) & (uv[..., 1] < cam.height))
+    radius = th_radius * scale_factor ** last_octave.astype(jnp.float32)
+    idx, dist = windowed_match(
+        uv, last_signs, vis, radius,
+        kp_uv, kp_signs, kp_octave, kp_valid,
+        octave_lo=last_octave - 1, octave_hi=last_octave + 1,
+        th=th, nn_ratio=0.9, mutual=True)
+    if angles_q is not None and angles_kp is not None:
+        idx = H.rotation_consistency(angles_q, angles_kp, idx)
+    return idx, dist
+
+
+def search_brute_force(signs_a, valid_a, signs_b, valid_b,
+                       th=H.TH_LOW, nn_ratio=0.75, mutual=True):
+    """Unwindowed descriptor-only search (the SearchByBoW replacement).
+
+    The reference restricts candidates to shared vocabulary-tree nodes
+    purely as a CPU speed hack (ORBmatcher::SearchByBoW); on the MXU the
+    full Hamming matrix is cheaper than the bookkeeping, and strictly
+    higher recall. Same gates: TH_LOW + 0.75 ratio.
+    """
+    D = H.hamming_matrix(signs_a, signs_b, valid_a, valid_b,
+                         invalid_dist=INVALID)
+    idx, dist = H.best_match(D, th=th, nn_ratio=nn_ratio)
+    if mutual:
+        idx_back, _ = H.best_match(jnp.swapaxes(D, 0, 1), th=th, nn_ratio=1.0)
+        idx = H.mutual_filter(idx, idx_back)
+    return idx, dist
