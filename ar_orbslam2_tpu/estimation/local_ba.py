@@ -1,0 +1,202 @@
+"""Bundle adjustment with dense-blocked Schur complement.
+
+TPU-native replacement for g2o's sparse LM BlockSolver + the reference's
+Optimizer::LocalBundleAdjustment / BundleAdjustment (src/Optimizer.cc:≈450,
+≈40 — SURVEY.md §2.2 "the single biggest native-replacement item").
+
+Redesign for the MXU:
+  * the camera/landmark hypergraph becomes fixed-shape observation tables
+    grouped per landmark: obs_cam[P, OPP], obs_uv[P, OPP, 2], ...
+  * per-edge Jacobians/Huber weights are batched einsums;
+  * landmark blocks Hpp (3x3) are inverted in closed form (batched);
+  * the camera-reduced (Schur) system S = Hcc - W Hpp^-1 W^T is assembled
+    with one einsum per landmark chunk + scatter-add into [C, C, 6, 6];
+  * S is solved DENSE (6C x 6C) with Jacobi equilibration — local windows
+    have C <= 64 cameras, so the solve is microscopic on the MXU;
+  * Levenberg damping with accept/reject, all inside one jit.
+
+The same engine runs global BA (all keyframes, first camera fixed) — the
+reference's GlobalBundleAdjustemnt(sic) — by passing the whole map.
+
+Distribution (parallel/dist_ba.py) shards the landmark axis P over the
+device mesh: Hcc/S contributions are psum-reduced (the reduce-scatter /
+all-gather pattern of SURVEY.md §5.7); landmark back-substitution stays
+local. This module is the single-device kernel of that design.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.robust import CHI2_2DOF, CHI2_3DOF, huber_weight
+
+
+def _proj(cam, xc):
+    z = jnp.maximum(xc[..., 2], 1e-6)
+    u = cam.fx * xc[..., 0] / z + cam.cx
+    v = cam.fy * xc[..., 1] / z + cam.cy
+    return u, v, z
+
+
+@partial(jax.jit, static_argnames=("cam", "n_iters_1", "n_iters_2"))
+def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
+                  pts, pt_valid,
+                  obs_cam, obs_uv, obs_octave, obs_valid,
+                  cam, obs_uvr=None,
+                  n_iters_1=5, n_iters_2=10, scale_factor=1.2):
+    """Levenberg-Marquardt BA over (cameras, landmarks).
+
+    Args:
+      cam_R (C,3,3), cam_t (C,3): world->camera poses (updated in place).
+      cam_fixed (C,) bool: poses held constant (gauge / boundary cameras).
+      cam_valid (C,) bool: padding mask.
+      pts (P,3), pt_valid (P,): landmarks.
+      obs_cam (P,OPP) int32: camera index of each observation (-1 pad).
+      obs_uv (P,OPP,2), obs_octave (P,OPP), obs_valid (P,OPP) bool.
+      obs_uvr (P,OPP) or None: stereo right-u (<0 => mono observation).
+      n_iters_1 / n_iters_2: LM iterations before / after the mid-way
+        chi2 outlier strip (parity with LocalBundleAdjustment's 5 + 10).
+    Returns:
+      dict(cam_R, cam_t, pts, obs_inlier (P,OPP) bool, cost).
+    """
+    C = cam_R.shape[0]
+    P, OPP = obs_cam.shape
+    oc = jnp.maximum(obs_cam, 0)
+    inv_sigma2 = scale_factor ** (-2.0 * obs_octave.astype(jnp.float32))
+    if obs_uvr is None:
+        obs_uvr = jnp.full((P, OPP), -1.0, jnp.float32)
+    stereo = obs_uvr > 0
+    chi2_th = jnp.where(stereo, CHI2_3DOF, CHI2_2DOF)
+
+    def residuals(R_all, t_all, X):
+        """r (P,OPP,3), Jc (P,OPP,3,6), Jp (P,OPP,3,3), behind (P,OPP)."""
+        Rg = R_all[oc]                      # (P,OPP,3,3)
+        tg = t_all[oc]
+        xc = jnp.einsum("poij,pj->poi", Rg, X) + tg
+        u, v, z = _proj(cam, xc)
+        r_uv = jnp.stack([u - obs_uv[..., 0], v - obs_uv[..., 1]], -1)
+        u_r = u - cam.bf / z
+        r_r = jnp.where(stereo, u_r - obs_uvr, 0.0)
+        r = jnp.concatenate([r_uv, r_r[..., None]], -1)
+        x, y = xc[..., 0], xc[..., 1]
+        iz = 1.0 / z
+        iz2 = iz * iz
+        zero = jnp.zeros_like(z)
+        Jp_row_u = jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2], -1)
+        Jp_row_v = jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2], -1)
+        Jp_row_r = Jp_row_u + jnp.stack([zero, zero, cam.bf * iz2], -1)
+        Jp_row_r = jnp.where(stereo[..., None], Jp_row_r, 0.0)
+        Jproj = jnp.stack([Jp_row_u, Jp_row_v, Jp_row_r], -2)  # (P,OPP,3,3)
+        # d xc / d xi (camera, left perturbation) = [I | -hat(xc)]
+        I3 = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), (P, OPP, 3, 3))
+        Jxi = jnp.concatenate([I3, -lie.hat(xc)], -1)          # (P,OPP,3,6)
+        Jc = Jproj @ Jxi                                       # (P,OPP,3,6)
+        Jpt = Jproj @ Rg                                       # d xc / d X = R
+        return r, Jc, Jpt, xc[..., 2] <= 0.0
+
+    def edge_chi2(r):
+        return jnp.sum(r * r, -1) * inv_sigma2
+
+    def lm_step(R_all, t_all, X, inlier, lam, use_huber):
+        r, Jc, Jpt, behind = residuals(R_all, t_all, X)
+        c2 = edge_chi2(r)
+        w_h = jnp.where(use_huber, huber_weight(c2, chi2_th), 1.0)
+        w = inv_sigma2 * w_h * inlier * obs_valid * (~behind) \
+            * pt_valid[:, None] * cam_valid[oc]
+        # fixed cameras: their residuals constrain POINTS but produce no
+        # camera gradient -> zero their Jc
+        Jc = jnp.where(cam_fixed[oc][..., None, None], 0.0, Jc)
+
+        JcW = Jc * w[..., None, None]
+        JptW = Jpt * w[..., None, None]
+        # camera blocks
+        Hcc = jnp.zeros((C, 6, 6)).at[oc].add(
+            jnp.einsum("pori,porj->poij", JcW, Jc))
+        b_c = jnp.zeros((C, 6)).at[oc].add(
+            jnp.einsum("pori,por->poi", JcW, r))
+        # landmark blocks
+        Hpp = jnp.einsum("pori,porj->pij", JptW, Jpt)          # (P,3,3)
+        b_p = jnp.einsum("pori,por->pi", JptW, r)              # (P,3)
+        # cross blocks per observation
+        Wb = jnp.einsum("pori,porj->poij", JcW, Jpt)           # (P,OPP,6,3)
+
+        lam_p = lam
+        Hpp_d = Hpp + (lam_p * jax.vmap(jnp.diag)(
+            jax.vmap(jnp.diag)(Hpp)) + 1e-6 * jnp.eye(3))
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Y = jnp.einsum("poij,pjk->poik", Wb, Hpp_inv)          # (P,OPP,6,3)
+
+        # Schur: S[ci,cj] -= Y_i @ W_j^T for obs pairs of the same point
+        T = jnp.einsum("poik,pqjk->poqij", Y, Wb)              # (P,OPP,OPP',6,6)
+        ci = jnp.broadcast_to(oc[:, :, None], (P, OPP, OPP))
+        cj = jnp.broadcast_to(oc[:, None, :], (P, OPP, OPP))
+        S = jnp.zeros((C, C, 6, 6)).at[ci, cj].add(-T)
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
+        b_s = b_c - jnp.zeros((C, 6)).at[oc].add(
+            jnp.einsum("poik,pk->poi", Y, b_p))
+
+        # dense solve with Levenberg damping + Jacobi equilibration
+        Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(6 * C, 6 * C)
+        diag = jnp.diagonal(Sd)
+        Sd = Sd + jnp.diag(lam * diag)
+        free = (cam_valid & (~cam_fixed)).astype(Sd.dtype)
+        free6 = jnp.repeat(free, 6)
+        # clamp fixed/padded rows+cols to identity
+        Sd = Sd * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+        d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(Sd)), 1e-8))
+        Sd = Sd / d[:, None] / d[None, :]
+        rhs = (-b_s.reshape(-1) * free6) / d
+        dx_c = (jnp.linalg.solve(Sd, rhs) / d).reshape(C, 6)
+
+        # back-substitute landmarks: dx_p = Hpp^-1 (-b_p - sum_o W^T dx_c)
+        Wt_dxc = jnp.einsum("poij,poi->pj", Wb, dx_c[oc])      # (P,3)
+        dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dxc)
+
+        dR, dt = lie.se3_exp(dx_c)
+        R_new, t_new = lie.se3_mul(dR, dt, R_all, t_all)
+        R_new = jnp.where(cam_fixed[:, None, None], R_all, R_new)
+        t_new = jnp.where(cam_fixed[:, None], t_all, t_new)
+        X_new = jnp.where(pt_valid[:, None], X + dx_p, X)
+
+        # accept / reject on robustified cost
+        mask = inlier * obs_valid * pt_valid[:, None] * cam_valid[oc]
+        r2, _, _, behind2 = residuals(R_new, t_new, X_new)
+        c2n = edge_chi2(r2)
+        w_hn = jnp.where(use_huber, huber_weight(c2n, chi2_th), 1.0)
+        cost_old = jnp.sum(c2 * w_h * mask * (~behind))
+        cost_new = jnp.sum(c2n * w_hn * mask * (~behind2))
+        accept = cost_new < cost_old
+        R_all = jnp.where(accept, R_new, R_all)
+        t_all = jnp.where(accept, t_new, t_all)
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.clip(jnp.where(accept, lam * 0.4, lam * 5.0), 1e-7, 1e4)
+        return R_all, t_all, X, lam, cost_new
+
+    def run_phase(carry, n_iters, use_huber):
+        def body(_, c):
+            R_all, t_all, X, inlier, lam = c
+            R_all, t_all, X, lam, _ = lm_step(R_all, t_all, X, inlier, lam,
+                                              use_huber)
+            return R_all, t_all, X, inlier, lam
+        return jax.lax.fori_loop(0, n_iters, body, carry)
+
+    inlier = obs_valid
+    carry = (cam_R, cam_t, pts, inlier, jnp.float32(1e-4))
+    carry = run_phase(carry, n_iters_1, jnp.asarray(True))
+    # mid-way outlier strip (parity: LocalBundleAdjustment chi2 gate)
+    R_all, t_all, X, _, lam = carry
+    r, _, _, behind = residuals(R_all, t_all, X)
+    inlier = (edge_chi2(r) <= chi2_th) & (~behind) & obs_valid
+    carry = (R_all, t_all, X, inlier, lam)
+    carry = run_phase(carry, n_iters_2, jnp.asarray(True))
+    R_all, t_all, X, inlier, lam = carry
+
+    r, _, _, behind = residuals(R_all, t_all, X)
+    c2 = edge_chi2(r)
+    inlier = (c2 <= chi2_th) & (~behind) & obs_valid
+    cost = jnp.sum(jnp.where(inlier, c2, 0.0))
+    return dict(cam_R=R_all, cam_t=t_all, pts=X, obs_inlier=inlier,
+                cost=cost)
