@@ -32,13 +32,7 @@ import jax.numpy as jnp
 
 from ..core import lie
 from ..core.robust import CHI2_2DOF, CHI2_3DOF, huber_weight
-
-
-def _proj(cam, xc):
-    z = jnp.maximum(xc[..., 2], 1e-6)
-    u = cam.fx * xc[..., 0] / z + cam.cx
-    v = cam.fy * xc[..., 1] / z + cam.cy
-    return u, v, z
+from . import ba_core
 
 
 @partial(jax.jit, static_argnames=("cam", "n_iters_1", "n_iters_2"))
@@ -73,29 +67,8 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
 
     def residuals(R_all, t_all, X):
         """r (P,OPP,3), Jc (P,OPP,3,6), Jp (P,OPP,3,3), behind (P,OPP)."""
-        Rg = R_all[oc]                      # (P,OPP,3,3)
-        tg = t_all[oc]
-        xc = jnp.einsum("poij,pj->poi", Rg, X) + tg
-        u, v, z = _proj(cam, xc)
-        r_uv = jnp.stack([u - obs_uv[..., 0], v - obs_uv[..., 1]], -1)
-        u_r = u - cam.bf / z
-        r_r = jnp.where(stereo, u_r - obs_uvr, 0.0)
-        r = jnp.concatenate([r_uv, r_r[..., None]], -1)
-        x, y = xc[..., 0], xc[..., 1]
-        iz = 1.0 / z
-        iz2 = iz * iz
-        zero = jnp.zeros_like(z)
-        Jp_row_u = jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2], -1)
-        Jp_row_v = jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2], -1)
-        Jp_row_r = Jp_row_u + jnp.stack([zero, zero, cam.bf * iz2], -1)
-        Jp_row_r = jnp.where(stereo[..., None], Jp_row_r, 0.0)
-        Jproj = jnp.stack([Jp_row_u, Jp_row_v, Jp_row_r], -2)  # (P,OPP,3,3)
-        # d xc / d xi (camera, left perturbation) = [I | -hat(xc)]
-        I3 = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), (P, OPP, 3, 3))
-        Jxi = jnp.concatenate([I3, -lie.hat(xc)], -1)          # (P,OPP,3,6)
-        Jc = Jproj @ Jxi                                       # (P,OPP,3,6)
-        Jpt = Jproj @ Rg                                       # d xc / d X = R
-        return r, Jc, Jpt, xc[..., 2] <= 0.0
+        return ba_core.ba_residuals(cam, R_all, t_all, X, oc,
+                                    obs_uv, obs_uvr, stereo)
 
     def edge_chi2(r):
         return jnp.sum(r * r, -1) * inv_sigma2
@@ -110,50 +83,10 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
         # camera gradient -> zero their Jc
         Jc = jnp.where(cam_fixed[oc][..., None, None], 0.0, Jc)
 
-        JcW = Jc * w[..., None, None]
-        JptW = Jpt * w[..., None, None]
-        # camera blocks
-        Hcc = jnp.zeros((C, 6, 6)).at[oc].add(
-            jnp.einsum("pori,porj->poij", JcW, Jc))
-        b_c = jnp.zeros((C, 6)).at[oc].add(
-            jnp.einsum("pori,por->poi", JcW, r))
-        # landmark blocks
-        Hpp = jnp.einsum("pori,porj->pij", JptW, Jpt)          # (P,3,3)
-        b_p = jnp.einsum("pori,por->pi", JptW, r)              # (P,3)
-        # cross blocks per observation
-        Wb = jnp.einsum("pori,porj->poij", JcW, Jpt)           # (P,OPP,6,3)
-
-        lam_p = lam
-        Hpp_d = Hpp + (lam_p * jax.vmap(jnp.diag)(
-            jax.vmap(jnp.diag)(Hpp)) + 1e-6 * jnp.eye(3))
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
-        Y = jnp.einsum("poij,pjk->poik", Wb, Hpp_inv)          # (P,OPP,6,3)
-
-        # Schur: S[ci,cj] -= Y_i @ W_j^T for obs pairs of the same point
-        T = jnp.einsum("poik,pqjk->poqij", Y, Wb)              # (P,OPP,OPP',6,6)
-        ci = jnp.broadcast_to(oc[:, :, None], (P, OPP, OPP))
-        cj = jnp.broadcast_to(oc[:, None, :], (P, OPP, OPP))
-        S = jnp.zeros((C, C, 6, 6)).at[ci, cj].add(-T)
-        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
-        b_s = b_c - jnp.zeros((C, 6)).at[oc].add(
-            jnp.einsum("poik,pk->poi", Y, b_p))
-
-        # dense solve with Levenberg damping + Jacobi equilibration
-        Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(6 * C, 6 * C)
-        diag = jnp.diagonal(Sd)
-        Sd = Sd + jnp.diag(lam * diag)
-        free = (cam_valid & (~cam_fixed)).astype(Sd.dtype)
-        free6 = jnp.repeat(free, 6)
-        # clamp fixed/padded rows+cols to identity
-        Sd = Sd * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
-        d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(Sd)), 1e-8))
-        Sd = Sd / d[:, None] / d[None, :]
-        rhs = (-b_s.reshape(-1) * free6) / d
-        dx_c = (jnp.linalg.solve(Sd, rhs) / d).reshape(C, 6)
-
-        # back-substitute landmarks: dx_p = Hpp^-1 (-b_p - sum_o W^T dx_c)
-        Wt_dxc = jnp.einsum("poij,poi->pj", Wb, dx_c[oc])      # (P,3)
-        dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dxc)
+        blocks = ba_core.schur_blocks(r, Jc, Jpt, w, oc, C, lam)
+        dx_c = ba_core.solve_camera_system(
+            blocks["S"], blocks["b_s"], cam_valid & (~cam_fixed), lam)
+        dx_p = ba_core.backsub_points(blocks, dx_c, oc)
 
         dR, dt = lie.se3_exp(dx_c)
         R_new, t_new = lie.se3_mul(dR, dt, R_all, t_all)

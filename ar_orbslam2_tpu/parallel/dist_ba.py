@@ -1,0 +1,154 @@
+"""Distributed Schur-complement bundle adjustment over a device mesh.
+
+The TPU-native replacement for the scaling story the reference never had
+(SURVEY.md §2.5 / §5.7): ORB-SLAM2 runs BA on one CPU thread via g2o; here
+the landmark axis of the camera-landmark system is sharded across the mesh
+("mp" axis), each device assembles the Schur contributions of its landmark
+shard, the camera-reduced system S / b_s is summed with `jax.lax.psum`
+(XLA lowers this to an all-reduce riding ICI), every device solves the
+small replicated camera system, and landmark back-substitution stays
+device-local (zero communication).
+
+Communication per LM iteration: one psum of (C*6)^2 + C*6 floats + a few
+scalars — independent of the landmark count, which is what makes the
+scaling efficient: compute grows with P/n_devices, comms stay constant.
+
+Usage: build a Mesh over the devices, shard the P-axis arrays with
+NamedSharding(mesh, P("mp")), replicate camera arrays, then call
+`dist_bundle_adjust`. Works identically on a virtual CPU mesh
+(xla_force_host_platform_device_count) and a real slice.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import lie
+from ..core.robust import CHI2_2DOF, CHI2_3DOF, huber_weight
+from ..estimation import ba_core
+
+AXIS = "mp"
+
+
+def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
+    import numpy as np
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_point_arrays(mesh, *arrays, axis: str = AXIS):
+    """Place P-axis arrays with their leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def replicate(mesh, *arrays):
+    sharding = NamedSharding(mesh, P())
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def dist_bundle_adjust(mesh, cam_R, cam_t, cam_fixed, cam_valid,
+                       pts, pt_valid,
+                       obs_cam, obs_uv, obs_octave, obs_valid,
+                       cam, obs_uvr=None,
+                       n_iters=10, scale_factor=1.2, axis=AXIS):
+    """LM bundle adjustment with the landmark axis sharded over `mesh`.
+
+    Same problem layout as estimation.local_ba.bundle_adjust; P must be
+    divisible by the mesh size (pad with pt_valid=False rows).
+    Returns dict(cam_R, cam_t, pts, obs_inlier, cost).
+    """
+    n_dev = mesh.devices.size
+    P_total = pts.shape[0]
+    assert P_total % n_dev == 0, "pad landmark axis to a multiple of mesh size"
+    C = cam_R.shape[0]
+    if obs_uvr is None:
+        obs_uvr = jnp.full(obs_cam.shape, -1.0, jnp.float32)
+
+    shard_map = jax.shard_map
+    pspec = jax.sharding.PartitionSpec
+    pt_sh = pspec(axis)
+    rep = pspec()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(rep, rep, rep, rep,
+                       pt_sh, pt_sh, pt_sh, pt_sh, pt_sh, pt_sh, pt_sh),
+             out_specs=(rep, rep, pt_sh, pt_sh, rep),
+             check_vma=False)
+    def run(cam_R, cam_t, cam_fixed, cam_valid,
+            pts, pt_valid, obs_cam, obs_uv, obs_octave, obs_valid, obs_uvr):
+        oc = jnp.maximum(obs_cam, 0)
+        stereo = obs_uvr > 0
+        inv_sigma2 = scale_factor ** (-2.0 * obs_octave.astype(jnp.float32))
+        chi2_th = jnp.where(stereo, CHI2_3DOF, CHI2_2DOF)
+
+        def residuals(R_all, t_all, X):
+            return ba_core.ba_residuals(cam, R_all, t_all, X, oc,
+                                        obs_uv, obs_uvr, stereo)
+
+        def edge_chi2(r):
+            return jnp.sum(r * r, -1) * inv_sigma2
+
+        def lm_step(carry, _):
+            R_all, t_all, X, inlier, lam = carry
+            r, Jc, Jpt, behind = residuals(R_all, t_all, X)
+            c2 = edge_chi2(r)
+            w_h = huber_weight(c2, chi2_th)
+            w = inv_sigma2 * w_h * inlier * obs_valid * (~behind) \
+                * pt_valid[:, None] * cam_valid[oc]
+            Jc = jnp.where(cam_fixed[oc][..., None, None], 0.0, Jc)
+
+            blocks = ba_core.schur_blocks(r, Jc, Jpt, w, oc, C, lam)
+            # the ONLY cross-device reduction: camera system contributions
+            S = jax.lax.psum(blocks["S"], axis)
+            b_s = jax.lax.psum(blocks["b_s"], axis)
+            dx_c = ba_core.solve_camera_system(
+                S, b_s, cam_valid & (~cam_fixed), lam)
+            dx_p = ba_core.backsub_points(blocks, dx_c, oc)
+
+            dR, dt = lie.se3_exp(dx_c)
+            R_new, t_new = lie.se3_mul(dR, dt, R_all, t_all)
+            R_new = jnp.where(cam_fixed[:, None, None], R_all, R_new)
+            t_new = jnp.where(cam_fixed[:, None], t_all, t_new)
+            X_new = jnp.where(pt_valid[:, None], X + dx_p, X)
+
+            mask = inlier * obs_valid * pt_valid[:, None] * cam_valid[oc]
+            r2, _, _, behind2 = residuals(R_new, t_new, X_new)
+            c2n = edge_chi2(r2)
+            w_hn = huber_weight(c2n, chi2_th)
+            cost_old = jax.lax.psum(jnp.sum(c2 * w_h * mask * (~behind)),
+                                    axis)
+            cost_new = jax.lax.psum(jnp.sum(c2n * w_hn * mask * (~behind2)),
+                                    axis)
+            accept = cost_new < cost_old
+            R_all = jnp.where(accept, R_new, R_all)
+            t_all = jnp.where(accept, t_new, t_all)
+            X = jnp.where(accept, X_new, X)
+            lam = jnp.clip(jnp.where(accept, lam * 0.4, lam * 5.0),
+                           1e-7, 1e4)
+            return (R_all, t_all, X, inlier, lam), cost_new
+
+        inlier = obs_valid
+        carry = (cam_R, cam_t, pts, inlier, jnp.float32(1e-4))
+        n1 = max(n_iters // 3, 1)
+        carry, _ = jax.lax.scan(lm_step, carry, None, length=n1)
+        # mid-way outlier strip (parity: LocalBundleAdjustment chi2 gate)
+        R_all, t_all, X, _, lam = carry
+        r, _, _, behind = residuals(R_all, t_all, X)
+        inlier = (edge_chi2(r) <= chi2_th) & (~behind) & obs_valid
+        carry = (R_all, t_all, X, inlier, lam)
+        carry, _ = jax.lax.scan(lm_step, carry, None, length=n_iters - n1)
+        R_all, t_all, X, inlier, lam = carry
+        r, _, _, behind = residuals(R_all, t_all, X)
+        c2 = edge_chi2(r)
+        inlier = (c2 <= chi2_th) & (~behind) & obs_valid
+        cost = jax.lax.psum(jnp.sum(jnp.where(inlier, c2, 0.0)), axis)
+        return R_all, t_all, X, inlier, cost
+
+    R, t, X, inl, cost = run(cam_R, cam_t, cam_fixed, cam_valid,
+                             pts, pt_valid, obs_cam, obs_uv,
+                             obs_octave, obs_valid, obs_uvr)
+    return dict(cam_R=R, cam_t=t, pts=X, obs_inlier=inl, cost=cost)
