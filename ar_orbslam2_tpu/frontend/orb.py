@@ -1,0 +1,324 @@
+"""ORB feature extraction as one fused XLA program per pyramid level.
+
+TPU-native redesign of the reference's ORBextractor (src/ORBextractor.cc,
+SURVEY.md §2.1): the per-cell scalar FAST loops, the recursive quadtree
+(`DistributeOctTree`), and the per-keypoint descriptor loop become dense
+masked map operations:
+
+  * FAST-9/16 corner test + exact "max threshold" corner score as shifted
+    whole-image comparisons (VPU-friendly, no branches);
+  * the reference's per-cell threshold fallback (iniThFAST=20 →
+    minThFAST=7 when a cell is empty) becomes a cell-max mask;
+  * quadtree spatial balancing becomes per-cell top-K ranking: every
+    non-empty cell contributes its best corner before any cell contributes
+    a second one — same uniformity goal, fixed shapes (§7 design stance);
+  * IC-angle orientation and the rotated 256-pair BRIEF become batched
+    patch gathers (the sampling pattern is the published `bit_pattern_31_`
+    table, see brief_pattern.py — descriptors stay bit-compatible with
+    every ORB pipeline).
+
+Everything per level is fixed-shape; levels are unrolled inside one jit
+(static image shape + config), so per-frame extraction is a single device
+dispatch.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .brief_pattern import BIT_PATTERN_31
+
+EDGE = 19                 # EDGE_THRESHOLD border (reference ORBextractor)
+HALF_PATCH = 15           # IC_Angle circular patch radius
+PATCH = 31
+
+# 16-pixel Bresenham circle (radius 3), clockwise from (0,-3) in (dy,dx) —
+# same ring as cv::FAST_9_16 / the reference's cv::FAST call.
+RING = np.array([
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+], np.int32)
+
+
+class OrbConfig(NamedTuple):
+    """Mirrors the reference YAML keys (ORBextractor.*, src/Tracking.cc)."""
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    cell: int = 32            # spatial-uniformity grid (quadtree analog)
+    per_cell_k: int = 4
+
+
+def features_per_level(cfg: OrbConfig):
+    """Geometric split of the feature budget, parity with the reference's
+    mnFeaturesPerLevel computation (ORBextractor ctor)."""
+    inv = 1.0 / cfg.scale_factor
+    n0 = cfg.n_features * (1 - inv) / (1 - inv ** cfg.n_levels)
+    out = []
+    acc = 0
+    for l in range(cfg.n_levels - 1):
+        n = int(round(n0 * inv ** l))
+        out.append(n)
+        acc += n
+    out.append(max(cfg.n_features - acc, 0))
+    return out
+
+
+def level_shapes(h, w, cfg: OrbConfig):
+    shapes = []
+    for l in range(cfg.n_levels):
+        s = 1.0 / (cfg.scale_factor ** l)
+        shapes.append((int(round(h * s)), int(round(w * s))))
+    return shapes
+
+
+# ---------------------------------------------------------------------------
+# FAST
+# ---------------------------------------------------------------------------
+def fast_score_map(img_f, threshold):
+    """FAST-9/16 corner score map (0 where not a corner at `threshold`).
+
+    Score is the exact "maximum threshold for which this stays a corner":
+    max over the 16 contiguous 9-arcs of (min over the arc of |ring -
+    center|), evaluated separately for the brighter/darker polarity.
+    """
+    # ring values as 16 shifted copies: (16, H, W)
+    shifted = jnp.stack(
+        [jnp.roll(img_f, (-int(dy), -int(dx)), (0, 1)) for dy, dx in RING])
+    d_bright = shifted - img_f[None]       # >0 where ring brighter
+    d_dark = -d_bright
+
+    def arc_score(d):
+        # min over every contiguous 9-window on the circular ring axis
+        m2 = jnp.minimum(d, jnp.roll(d, -1, 0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -2, 0))
+        m8 = jnp.minimum(m4, jnp.roll(m4, -4, 0))
+        m9 = jnp.minimum(m8, jnp.roll(d, -8, 0))
+        return jnp.max(m9, 0)              # best arc per pixel
+
+    score = jnp.maximum(arc_score(d_bright), arc_score(d_dark))
+    corner = score > threshold
+    # zero the 3px ring border (rolled values wrap around)
+    h, w = img_f.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = ((yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3))
+    return jnp.where(corner & interior, score, 0.0)
+
+
+def _maxpool3(x):
+    m = x
+    for ax in (0, 1):
+        m = jnp.maximum(m, jnp.maximum(
+            jnp.roll(m, 1, ax), jnp.roll(m, -1, ax)))
+    return m
+
+
+def _cell_reduce_max(score, cell):
+    h, w = score.shape
+    hc, wc = -(-h // cell), -(-w // cell)
+    pad = jnp.pad(score, ((0, hc * cell - h), (0, wc * cell - w)))
+    cells = pad.reshape(hc, cell, wc, cell)
+    cmax = cells.max((1, 3))
+    return jnp.repeat(jnp.repeat(cmax, cell, 0), cell, 1)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# keypoint selection (quadtree replacement)
+# ---------------------------------------------------------------------------
+def select_keypoints(score, quota, cell, k):
+    """Per-cell top-k ranking, then global pick of `quota` keypoints.
+
+    Every non-empty cell contributes its rank-0 corner before any cell
+    contributes rank-1, etc — the spatial-uniformity contract of the
+    reference's DistributeOctTree, with fixed shapes.
+
+    Returns (ys, xs, responses, valid) each (quota,).
+    """
+    h, w = score.shape
+    hc, wc = -(-h // cell), -(-w // cell)
+    pad = jnp.pad(score, ((0, hc * cell - h), (0, wc * cell - w)))
+    cells = pad.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(hc * wc, cell * cell)
+    top_v, top_i = jax.lax.top_k(cells, k)          # (C, k)
+    ok = top_v > 0
+    rank = jnp.broadcast_to(jnp.arange(k, dtype=jnp.float32)[None, :],
+                            top_v.shape)
+    # smaller key = better: cell-rank first, then response
+    key = jnp.where(ok, rank * 1e6 - top_v, jnp.inf).reshape(-1)
+    sel_key, sel = jax.lax.top_k(-key, quota)
+    sel_valid = jnp.isfinite(-sel_key)
+    c_idx = sel // k
+    in_cell = jnp.take(top_i.reshape(-1), sel)
+    cy, cx = c_idx // wc, c_idx % wc
+    ys = cy * cell + in_cell // cell
+    xs = cx * cell + in_cell % cell
+    resp = jnp.take(top_v.reshape(-1), sel)
+    return ys, xs, resp, sel_valid
+
+
+# ---------------------------------------------------------------------------
+# orientation + descriptor
+# ---------------------------------------------------------------------------
+def _gather_patches(img_f, ys, xs, half):
+    """(N,) centers -> (N, 2*half+1, 2*half+1) patches (clamped slices)."""
+    size = 2 * half + 1
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(img_f, (y - half, x - half),
+                                     (size, size))
+    return jax.vmap(one)(ys, xs)
+
+
+_IC_MASK, _IC_DX, _IC_DY = None, None, None
+
+
+def _ic_tables():
+    global _IC_MASK, _IC_DX, _IC_DY
+    if _IC_MASK is None:
+        r = np.arange(-HALF_PATCH, HALF_PATCH + 1)
+        dy, dx = np.meshgrid(r, r, indexing="ij")
+        # same circular footprint as the reference's u_max table
+        v = np.arange(HALF_PATCH + 1)
+        umax = np.round(np.sqrt(HALF_PATCH ** 2 - v ** 2)).astype(int)
+        mask = np.abs(dx) <= umax[np.abs(dy)]
+        _IC_MASK = jnp.asarray(mask, jnp.float32)
+        _IC_DX = jnp.asarray(dx * mask, jnp.float32)
+        _IC_DY = jnp.asarray(dy * mask, jnp.float32)
+    return _IC_MASK, _IC_DX, _IC_DY
+
+
+def ic_angles(img_f, ys, xs):
+    """Intensity-centroid orientation (degrees). Parity: IC_Angle
+    (src/ORBextractor.cc:≈75)."""
+    mask, dxs, dys = _ic_tables()
+    patches = _gather_patches(img_f, ys, xs, HALF_PATCH)
+    m10 = jnp.sum(patches * dxs, (1, 2))
+    m01 = jnp.sum(patches * dys, (1, 2))
+    return jnp.degrees(jnp.arctan2(m01, m10)) % 360.0
+
+
+def gaussian_blur7(img_f):
+    """7x7 sigma=2 separable blur, BORDER_REFLECT_101 — parity with the
+    GaussianBlur call before descriptor computation."""
+    x = np.arange(-3, 4)
+    k = np.exp(-(x ** 2) / (2 * 2.0 ** 2))
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+    p = jnp.pad(img_f, ((3, 3), (0, 0)), mode="reflect")
+    v = sum(p[i:i + img_f.shape[0]] * k[i] for i in range(7))
+    p = jnp.pad(v, ((0, 0), (3, 3)), mode="reflect")
+    return sum(p[:, i:i + img_f.shape[1]] * k[i] for i in range(7))
+
+
+_PAT = None
+
+
+def _pattern():
+    global _PAT
+    if _PAT is None:
+        _PAT = jnp.asarray(BIT_PATTERN_31, jnp.float32)  # (256,4) xa ya xb yb
+    return _PAT
+
+
+BRIEF_HALF = 18   # max |rotated offset| = ceil(13 * sqrt(2)) — patch bound
+
+
+def brief_descriptors(blur_f, ys, xs, angles_deg):
+    """Rotated 256-pair BRIEF bits. Parity: computeOrbDescriptor
+    (src/ORBextractor.cc:≈110): sample offsets (x,y) rotate to
+    (x cosθ - y sinθ, x sinθ + y cosθ), rounded, compared a < b."""
+    pat = _pattern()
+    th = jnp.radians(angles_deg)
+    ca, sa = jnp.cos(th), jnp.sin(th)           # (N,)
+    xa, ya, xb, yb = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
+
+    def rot(x, y):
+        col = jnp.round(x[None, :] * ca[:, None] - y[None, :] * sa[:, None])
+        row = jnp.round(x[None, :] * sa[:, None] + y[None, :] * ca[:, None])
+        return row.astype(jnp.int32), col.astype(jnp.int32)
+
+    ra, ca_ = rot(xa, ya)                        # (N, 256)
+    rb, cb_ = rot(xb, yb)
+    patches = _gather_patches(blur_f, ys, xs, BRIEF_HALF)  # (N, 37, 37)
+    flat = patches.reshape(patches.shape[0], -1)
+    size = 2 * BRIEF_HALF + 1
+
+    def sample(rows, cols):
+        idx = (rows + BRIEF_HALF) * size + (cols + BRIEF_HALF)
+        return jnp.take_along_axis(flat, idx, axis=1)
+
+    return (sample(ra, ca_) < sample(rb, cb_)).astype(jnp.uint8)  # (N,256)
+
+
+# ---------------------------------------------------------------------------
+# full extraction
+# ---------------------------------------------------------------------------
+def _level_features(img_f, quota, cfg: OrbConfig):
+    score = fast_score_map(img_f, float(cfg.min_th_fast))
+    # per-cell threshold fallback: keep >=iniTh corners; in cells where the
+    # best corner is below iniTh, keep the minTh ones (reference semantics)
+    cmax = _cell_reduce_max(score, cfg.cell)
+    keep = (score >= cfg.ini_th_fast) | (cmax < cfg.ini_th_fast)
+    score = jnp.where(keep, score, 0.0)
+    # 3x3 non-max suppression
+    score = jnp.where(score >= _maxpool3(score), score, 0.0)
+    # EDGE border (orientation patch + rotated BRIEF must fit)
+    h, w = img_f.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = ((yy >= EDGE) & (yy < h - EDGE) & (xx >= EDGE) & (xx < w - EDGE))
+    score = jnp.where(inside, score, 0.0)
+
+    ys, xs, resp, valid = select_keypoints(score, quota, cfg.cell,
+                                           cfg.per_cell_k)
+    ys = jnp.where(valid, ys, EDGE)   # clamp padding rows to safe coords
+    xs = jnp.where(valid, xs, EDGE)
+    ang = ic_angles(img_f, ys, xs)
+    blur = gaussian_blur7(img_f)
+    desc = brief_descriptors(blur, ys, xs, ang)
+    return ys, xs, resp, ang, desc, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_orb(image_u8, cfg: OrbConfig = OrbConfig()):
+    """Extract ORB features from a grayscale uint8 image.
+
+    Returns dict of fixed-shape arrays (N = cfg.n_features):
+      uv (N,2) float32 — level-0 pixel coords; octave (N,) int32;
+      angle (N,) float32 degrees; response (N,); desc_bits (N,256) uint8;
+      valid (N,) bool.
+    """
+    h, w = image_u8.shape
+    img0 = image_u8.astype(jnp.float32)
+    shapes = level_shapes(h, w, cfg)
+    quotas = features_per_level(cfg)
+
+    uys, uxs, resps, angs, descs, valids, octs = [], [], [], [], [], [], []
+    img_l = img0
+    for l in range(cfg.n_levels):
+        if l > 0:
+            img_l = jax.image.resize(img_l, shapes[l], "linear")
+        ys, xs, resp, ang, desc, valid = _level_features(
+            img_l, quotas[l], cfg)
+        s = cfg.scale_factor ** l
+        uys.append(ys.astype(jnp.float32) * s)
+        uxs.append(xs.astype(jnp.float32) * s)
+        resps.append(resp)
+        angs.append(ang)
+        descs.append(desc)
+        valids.append(valid)
+        octs.append(jnp.full(quotas[l], l, jnp.int32))
+
+    uv = jnp.stack([jnp.concatenate(uxs), jnp.concatenate(uys)], -1)
+    return dict(uv=uv,
+                octave=jnp.concatenate(octs),
+                angle=jnp.concatenate(angs),
+                response=jnp.concatenate(resps),
+                desc_bits=jnp.concatenate(descs),
+                valid=jnp.concatenate(valids))
