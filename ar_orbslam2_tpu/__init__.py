@@ -8,18 +8,24 @@ and jax.sharding for multi-chip distribution.
 
 Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
   core/        SE3/Sim3 Lie groups, camera models, triangulation, robust losses
-  ops/         Pallas/XLA kernels: Hamming matmul, FAST, BRIEF, image pyramid
-  frontend/    ORB feature extraction + Frame construction (fixed-capacity SoA)
+  ops/         device kernels: Hamming matmul, best-match, rotation histogram
+  frontend/    ORB extraction (pyramid FAST + oriented BRIEF) + stereo matching
   matching/    projection / brute-force descriptor search with rotation checks
-  vocab/       place recognition (brute-force MXU descriptor scoring; DBoW2 parity)
-  estimation/  motion-only BA, two-view init, EPnP RANSAC, Sim3, local BA, pose graph
+  estimation/  motion-only BA, two-view init, PnP RANSAC, Sim3, local BA,
+               essential-graph (Sim3 pose graph), relocalization
   mapstore/    fixed-capacity map (keyframes, landmarks, covisibility graph)
-  pipeline/    tracking / local-mapping / loop-closing stages
-  system.py    SlamSystem facade (TrackMonocular/Stereo/RGBD parity API)
-  ar/          plane RANSAC + marker anchoring + overlay rendering
+               + checkpoint/resume
+  mapping/     local-mapping stage (triangulation, fuse, culling, local BA)
+               + global BA
+  loop/        place recognition (vocabulary-as-tensor) + loop closing
+  system/      Frame, Tracking state machine, SlamSystem facade
+               (track_monocular/stereo/rgbd parity API)
+  ar/          plane RANSAC + marker anchoring + headless overlay rendering
   data/        TUM/KITTI/EuRoC loaders + synthetic scene generator
   eval/        ATE/RPE evaluation + trajectory IO (TUM/KITTI formats)
+  utils/       reference-YAML settings loader
   parallel/    device mesh, distributed Schur-complement BA
+  apps/        CLI runners (dataset eval, AR demo)
 """
 
 __version__ = "0.1.0"

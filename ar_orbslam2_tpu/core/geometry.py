@@ -98,10 +98,11 @@ def epipolar_sq_dist(F12, uv1, uv2):
     Parity: ORBmatcher::CheckDistEpipolarLine (src/ORBmatcher.cc) which
     gates at 3.84 * sigma^2 per pyramid level.
     """
-    ones = jnp.ones(uv1.shape[:-1] + (1,), uv1.dtype)
-    x1 = jnp.concatenate([uv1, ones], -1)
+    ones1 = jnp.ones(uv1.shape[:-1] + (1,), uv1.dtype)
+    ones2 = jnp.ones(uv2.shape[:-1] + (1,), uv2.dtype)
+    x1 = jnp.concatenate([uv1, ones1], -1)
     l = x1 @ F12.T                                        # line in image 2
-    num = jnp.sum(jnp.concatenate([uv2, ones], -1) * l, -1)
+    num = jnp.sum(jnp.concatenate([uv2, ones2], -1) * l, -1)
     den = l[..., 0] ** 2 + l[..., 1] ** 2
     return num * num / jnp.maximum(den, 1e-12)
 

@@ -47,14 +47,19 @@ def _sinc(theta):
 
 
 def so3_exp(omega):
-    """Rodrigues: (..., 3) -> (..., 3, 3)."""
+    """Rodrigues: (..., 3) -> (..., 3, 3).
+
+    theta is only sqrt-ed on the guarded branch (sqrt(0) has an infinite
+    derivative; unguarded it NaN-poisons every jacfwd/jacrev through this
+    function — the GN solvers differentiate through here).
+    """
     theta2 = jnp.sum(omega * omega, -1)
-    theta = jnp.sqrt(theta2)
-    W = hat(omega)
-    W2 = W @ W
-    a = _sinc(theta)                                   # sin/theta
     small = theta2 < _EPS * _EPS
     t2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2)
+    W = hat(omega)
+    W2 = W @ W
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2)
     I = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), W.shape)
     return I + a[..., None, None] * W + b[..., None, None] * W2
@@ -153,62 +158,48 @@ def se3_matrix(R, t):
 # (reference parity: g2o Sim3 used by LoopClosing / OptimizeEssentialGraph)
 # ---------------------------------------------------------------------------
 
+def _sim3_W(omega, sigma, n_terms=24):
+    """W(omega, sigma) = int_0^1 e^{sigma u} exp(u hat(omega)) du.
+
+    Since sigma*I commutes with hat(omega), this is exactly the phi_1
+    matrix function phi1(M) = sum_n M^n/(n+1)! of M = sigma*I + hat(omega),
+    evaluated as a truncated Horner series: branch-free, smooth (safe under
+    jacfwd/jacrev — the closed-form A/B/C coefficients catastrophically
+    cancel in f32 near theta=0 / sigma=0 and NaN the GN solvers), and
+    accurate to f32 eps for |theta| <= pi with 24 terms.
+    """
+    M = hat(omega) + sigma[..., None, None] * jnp.broadcast_to(
+        jnp.eye(3, dtype=omega.dtype), omega.shape[:-1] + (3, 3))
+    I = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), M.shape)
+    import math
+    P = I * (1.0 / math.factorial(n_terms + 1))
+    for n in range(n_terms - 1, -1, -1):
+        P = I * (1.0 / math.factorial(n + 1)) + M @ P
+    return P
+
+
 def sim3_exp(v):
     """Sim3 exponential. v = (rho, omega, sigma) (..., 7) -> (R, t, s).
 
-    Coefficient structure follows the standard closed form (Strasdat's
-    thesis / Sophus sim3): t = W @ rho with W = A*Wx + B*Wx^2 + C*I.
+    t = W(omega, sigma) @ rho (Strasdat's thesis / Sophus sim3), with W
+    evaluated as the phi_1 series of sigma*I + hat(omega) — see _sim3_W.
     """
     rho, omega, sigma = v[..., :3], v[..., 3:6], v[..., 6]
     s = jnp.exp(sigma)
     R = so3_exp(omega)
-    theta2 = jnp.sum(omega * omega, -1)
-    theta = jnp.sqrt(jnp.where(theta2 < _EPS * _EPS, 1.0, theta2))
-    th_small = theta2 < _EPS * _EPS
-    sg_small = jnp.abs(sigma) < _EPS
-    sig = jnp.where(sg_small, 1.0, sigma)
-
-    C = jnp.where(sg_small, 1.0 + sigma * 0.5, (s - 1.0) / sig)
-
-    # case: sigma ~ 0
-    A0 = jnp.where(th_small, 0.5, (1.0 - jnp.cos(theta)) / jnp.where(th_small, 1.0, theta2))
-    B0 = jnp.where(th_small, 1.0 / 6.0,
-                   (theta - jnp.sin(theta)) / jnp.where(th_small, 1.0, theta2 * theta))
-    # case: sigma != 0, theta ~ 0
-    A1 = ((sig - 1.0) * s + 1.0) / (sig * sig)
-    B1 = ((0.5 * sig * sig - sig + 1.0) * s - 1.0) / (sig * sig * sig)
-    # general case
-    a_ = s * jnp.sin(theta)
-    b_ = s * jnp.cos(theta)
-    c_ = theta2 + sigma * sigma
-    c_safe = jnp.where(c_ < _EPS, 1.0, c_)
-    A2 = (a_ * sig + (1.0 - b_) * theta) / (theta * c_safe)
-    B2 = (C - ((b_ - 1.0) * sig + a_ * theta) / c_safe) / jnp.where(th_small, 1.0, theta2)
-
-    A = jnp.where(sg_small, A0, jnp.where(th_small, A1, A2))
-    B = jnp.where(sg_small, B0, jnp.where(th_small, B1, B2))
-
-    W = hat(omega)
-    W2 = W @ W
-    I = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), W.shape)
-    Wm = A[..., None, None] * W + B[..., None, None] * W2 + C[..., None, None] * I
+    Wm = _sim3_W(omega, sigma)
     t = (Wm @ rho[..., None])[..., 0]
     return R, t, s
 
 
 def sim3_log(R, t, s):
-    """Inverse of sim3_exp via 3x3 solve of W rho = t (robust, no coeff inverse)."""
+    """Inverse of sim3_exp via 3x3 solve of W rho = t (robust, no coeff
+    inverse). W is the phi_1 series (_sim3_W), which is well-conditioned
+    (eigenvalues (e^z - 1)/z of z = sigma +/- i*theta, bounded away from 0
+    for |theta| < pi)."""
     omega = so3_log(R)
     sigma = jnp.log(s)
-    v0 = jnp.concatenate([jnp.zeros_like(omega), omega, sigma[..., None]], -1)
-    # Rebuild W from (omega, sigma) by calling sim3_exp with rho = e_i basis.
-    e = jnp.eye(3, dtype=R.dtype)
-    cols = []
-    for i in range(3):
-        vi = v0.at[..., :3].set(jnp.broadcast_to(e[i], omega.shape))
-        _, ti, _ = sim3_exp(vi)
-        cols.append(ti)
-    W = jnp.stack(cols, -1)
+    W = _sim3_W(omega, sigma)
     rho = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([rho, omega, sigma[..., None]], -1)
 

@@ -145,10 +145,16 @@ def observe_frame(scene: SyntheticScene, frame_idx: int, cam, *,
     d = scene.desc_bits[ids].copy()
     flip = rng.random(d.shape) < bit_flip
     desc[:k] = d ^ flip.astype(np.uint8)
-    # depth -> octave: nearest quarter of depth range at octave 0
+    # depth -> octave following the real pyramid model (MapPoint::
+    # PredictScale): a feature of fixed physical size appears LARGER when
+    # closer, so it is detected at a COARSER octave: oct = log(z_far/z)/
+    # log(s) with a GLOBAL z_far. This keeps octave differences consistent
+    # with distance ratios across frames, which the scale-consistency and
+    # octave-window gates rely on.
     zr = z[ids]
-    zmin = max(float(zr.min()), 1e-3)
-    oct_f = np.log(np.maximum(zr / zmin, 1.0)) / np.log(scale_factor)
+    z_far = 10.0
+    oct_f = np.ceil(np.log(np.maximum(z_far / zr, 1.0))
+                    / np.log(scale_factor))
     octave[:k] = np.clip(oct_f.astype(np.int32), 0, n_levels - 1)
     lm[:k] = ids
     valid[:k] = True

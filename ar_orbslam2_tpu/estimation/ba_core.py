@@ -81,11 +81,29 @@ def schur_blocks(r, Jc, Jpt, w, oc, n_cam, lam):
     Hpp_inv = jnp.linalg.inv(Hpp_d)
     Y = jnp.einsum("poij,pjk->poik", Wb, Hpp_inv)          # (P,OPP,6,3)
 
-    # Schur: S[ci,cj] -= Y_i @ W_j^T for observation pairs of one point
-    T = jnp.einsum("poik,pqjk->poqij", Y, Wb)              # (P,OPP,OPP,6,6)
-    ci = jnp.broadcast_to(oc[:, :, None], (P, OPP, OPP))
-    cj = jnp.broadcast_to(oc[:, None, :], (P, OPP, OPP))
-    S = jnp.zeros((C, C, 6, 6)).at[ci, cj].add(-T)
+    # Schur: S[ci,cj] -= Y_i @ W_j^T for observation pairs of one point.
+    # The pairwise tensor is (B,OPP,OPP,6,6) per chunk — materializing it
+    # for ALL P at once OOMs HBM (P=2048, OPP=48 -> 19 GB with remat
+    # copies, caught live on a v5e), so accumulate over P-chunks with a
+    # scan: each chunk is ~40 MB and the MXU stays busy.
+    B = min(P, 128)
+    if P % B:
+        B = P                      # non-power-of-two P: single chunk
+    n_chunks = max(P // B, 1)
+
+    def chunk_body(S_acc, chunk):
+        Y_c, Wb_c, oc_c = chunk
+        T = jnp.einsum("boik,bqjk->boqij", Y_c, Wb_c)      # (B,OPP,OPP,6,6)
+        ci = jnp.broadcast_to(oc_c[:, :, None], (B, OPP, OPP))
+        cj = jnp.broadcast_to(oc_c[:, None, :], (B, OPP, OPP))
+        return S_acc.at[ci, cj].add(-T), None
+
+    S0 = jnp.zeros((C, C, 6, 6))
+    S, _ = jax.lax.scan(
+        chunk_body, S0,
+        (Y.reshape(n_chunks, B, OPP, 6, 3),
+         Wb.reshape(n_chunks, B, OPP, 6, 3),
+         oc.reshape(n_chunks, B, OPP)))
     S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
     b_s = b_c - jnp.zeros((C, 6)).at[oc].add(
         jnp.einsum("poik,pk->poi", Y, b_p))

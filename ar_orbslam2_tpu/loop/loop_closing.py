@@ -1,0 +1,342 @@
+"""Loop closing — detection, Sim3 estimation, correction, global BA.
+
+TPU-native redesign of LoopClosing (src/LoopClosing.cc, SURVEY.md §3.4):
+the loop thread becomes a stage invoked per keyframe. The pieces map 1:1 —
+DetectLoop (database query + 3-consecutive covisibility consistency),
+ComputeSim3 (descriptor match -> batched Horn RANSAC -> Sim3 GN ->
+projection top-up with >=40 gate), CorrectLoop (Sim3 propagation over the
+current covisible group, landmark fusion, essential-graph optimization,
+full BA) — but every numeric stage is a fixed-shape batched kernel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..estimation.pose_graph import optimize_essential_graph
+from ..estimation.sim3_solver import optimize_sim3, sim3_ransac
+from ..matching import matcher
+from ..mapping.global_ba import global_bundle_adjustment
+from ..ops import hamming as H
+from .place_recognition import KeyFrameDatabase
+
+
+@dataclass(frozen=True)
+class LoopCloserConfig:
+    consistency_threshold: int = 3      # mnCovisibilityConsistencyTh
+    min_bow_matches: int = 20           # SearchByBoW gate in ComputeSim3
+    min_sim3_inliers: int = 20          # OptimizeSim3 gate
+    min_total_matches: int = 40         # projection top-up gate
+    min_kf_gap: int = 10                # KFs since last loop before retry
+    covis_edge_min_weight: int = 100    # essential-graph covisibility edges
+    fix_scale: bool = False             # True for stereo/RGB-D
+    run_global_ba: bool = True
+    max_loop_points: int = 4096
+
+
+class LoopCloser:
+    def __init__(self, store, mapper, cam,
+                 cfg: LoopCloserConfig = LoopCloserConfig(), kfdb=None):
+        self.store = store
+        self.mapper = mapper
+        self.cam = cam
+        self.cfg = cfg
+        self.kfdb = kfdb or KeyFrameDatabase(store)
+        self.last_loop_kf = -self.cfg.min_kf_gap
+        self.consistent_groups: list[tuple[set, int]] = []
+        self.loops: list[dict] = []
+        self._key = jax.random.PRNGKey(11)
+
+    def reset(self):
+        self.kfdb = KeyFrameDatabase(self.store, self.kfdb.vocab)
+        self.consistent_groups = []
+        self.last_loop_kf = -self.cfg.min_kf_gap
+
+    # ------------------------------------------------------------------
+    def insert_keyframe(self, kf: int) -> bool:
+        """Run the loop pipeline for a new keyframe. Returns True if a
+        loop was closed."""
+        self.kfdb.add(kf)
+        if kf - self.last_loop_kf < self.cfg.min_kf_gap:
+            return False
+        cands = self._detect_loop(kf)
+        for cand in cands:
+            sim3 = self._compute_sim3(kf, cand)
+            if sim3 is None:
+                continue
+            self._correct_loop(kf, cand, sim3)
+            self.last_loop_kf = kf
+            self.consistent_groups = []
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kf: int):
+        """Parity: LoopClosing::DetectLoop — candidates must be re-detected
+        in 3 consecutive keyframes with covisibility-group overlap."""
+        s, cfg = self.store, self.cfg
+        raw = self.kfdb.detect_loop_candidates(kf)
+        if not raw:
+            self.consistent_groups = []
+            return []
+        enough = []
+        new_groups: list[tuple[set, int]] = []
+        for cand in raw:
+            group = {cand} | {int(g) for g in
+                              s.covisible_keyframes(cand, n_best=10)}
+            best_consistency = 0
+            for prev_group, count in self.consistent_groups:
+                if group & prev_group:
+                    best_consistency = max(best_consistency, count + 1)
+            new_groups.append((group, best_consistency))
+            if best_consistency >= cfg.consistency_threshold - 1:
+                enough.append(cand)
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+    def _kf_landmark_bundle(self, kf: int):
+        """Features of kf that carry landmarks: positions in kf camera
+        coords + descriptors + uv + octave, per feature slot."""
+        s = self.store
+        mp = s.kf_mp[kf]
+        live = (mp >= 0) & s.mp_valid[np.maximum(mp, 0)]
+        sel = np.where(live, mp, 0)
+        xw = s.mp_pos[sel]
+        xc = xw @ s.kf_R[kf].T + s.kf_t[kf]
+        signs = H.to_signs(H.unpack_bits(s.mp_desc[sel]))
+        return dict(mp=np.where(live, mp, -1), live=live, xw=xw, xc=xc,
+                    signs=signs, uv=s.kf_uv[kf], octave=s.kf_octave[kf])
+
+    def _compute_sim3(self, kf: int, cand: int):
+        """Parity: LoopClosing::ComputeSim3 for one candidate."""
+        cfg, cam = self.cfg, self.cam
+        b1 = self._kf_landmark_bundle(kf)       # current
+        b2 = self._kf_landmark_bundle(cand)     # loop candidate
+        idx, _ = matcher.search_brute_force(
+            b1["signs"], jnp.asarray(b1["live"]),
+            b2["signs"], jnp.asarray(b2["live"]),
+            th=H.TH_LOW, nn_ratio=0.75)
+        idx = np.asarray(idx)
+        rows = np.nonzero(idx >= 0)[0]
+        if len(rows) < cfg.min_bow_matches:
+            return None
+        p1 = jnp.asarray(b1["xc"][rows])
+        p2 = jnp.asarray(b2["xc"][idx[rows]])
+        uv1 = jnp.asarray(b1["uv"][rows])
+        uv2 = jnp.asarray(b2["uv"][idx[rows]])
+        o1 = jnp.asarray(b1["octave"][rows])
+        o2 = jnp.asarray(b2["octave"][idx[rows]])
+        valid = jnp.ones(len(rows), bool)
+        self._key, k1 = jax.random.split(self._key)
+        ransac = sim3_ransac(cam, p1, p2, uv1, uv2, o1, o2, valid, k1,
+                             fix_scale=cfg.fix_scale)
+        if not bool(ransac["ok"]):
+            return None
+        ref = optimize_sim3(cam, ransac["R12"], ransac["t12"],
+                            ransac["s12"], p1, p2, uv1, uv2, o1, o2,
+                            valid, fix_scale=cfg.fix_scale)
+        if int(ref["n_inliers"]) < cfg.min_sim3_inliers:
+            return None
+        # projection top-up: loop-neighborhood landmarks -> current KF
+        n_total = self._count_projected_matches(kf, cand, ref)
+        if n_total < cfg.min_total_matches:
+            return None
+        return dict(R12=np.asarray(ref["R12"]), t12=np.asarray(ref["t12"]),
+                    s12=float(ref["s12"]), n_inliers=int(ref["n_inliers"]),
+                    n_total=n_total)
+
+    def _loop_neighborhood_points(self, cand: int):
+        s = self.store
+        kfs = np.concatenate([[cand], s.covisible_keyframes(cand,
+                                                            n_best=10)])
+        return s.local_map_points(kfs.astype(np.int64))
+
+    def _count_projected_matches(self, kf: int, cand: int, sim3) -> int:
+        """Parity: SearchByProjection(CurrentKF, Scw, loop points, 10)."""
+        s, cam, cfg = self.store, self.cam, self.cfg
+        mp_ids = self._loop_neighborhood_points(cand)
+        bundle = s.gather_map_points(mp_ids, pad_to=cfg.max_loop_points)
+        signs = H.to_signs(H.unpack_bits(bundle["desc"]))
+        # corrected current pose: Scw = S12 · T_cand_w  (world -> current)
+        R12 = np.asarray(sim3["R12"])
+        t12 = np.asarray(sim3["t12"])
+        s12 = float(sim3["s12"])
+        Rcw = R12 @ s.kf_R[cand]
+        tcw = s12 * (R12 @ s.kf_t[cand]) + t12
+        # scale the world points' camera depth via s12: fold s into R,t by
+        # projecting x_c = s12*R x + t -> use scaled pose (s*R, t)
+        idx, visible, _ = matcher.search_local_points(
+            cam, jnp.asarray(s12 * Rcw, jnp.float32),
+            jnp.asarray(tcw, jnp.float32),
+            jnp.asarray(bundle["pos"]), signs, jnp.asarray(bundle["normal"]),
+            jnp.asarray(bundle["dmin"]), jnp.asarray(bundle["dmax"]),
+            jnp.asarray(bundle["valid"]),
+            jnp.asarray(s.kf_uv[kf]), self.mapper.kf_signs(kf),
+            jnp.asarray(s.kf_octave[kf]), jnp.asarray(s.kf_kp_valid[kf]),
+            th_radius=10.0, th=H.TH_LOW, nn_ratio=1.0)
+        self._loop_match = (np.asarray(idx), np.asarray(bundle["ids"]))
+        return int((np.asarray(idx) >= 0).sum())
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf: int, cand: int, sim3):
+        """Parity: LoopClosing::CorrectLoop — propagate the corrected Sim3
+        over the current covisible group, fuse, optimize essential graph,
+        run global BA."""
+        s, cfg, cam = self.store, self.cfg, self.cam
+        group = [kf] + [int(g) for g in s.covisible_keyframes(kf)]
+        # corrected Scw for current KF: S12 · T_cand_w
+        R12, t12, s12 = sim3["R12"], sim3["t12"], sim3["s12"]
+        R_corr = R12 @ s.kf_R[cand]
+        t_corr = s12 * (R12 @ s.kf_t[cand]) + t12
+        s_corr = s12
+        # uncorrected current pose + full pre-correction snapshot (edge
+        # measurements for the essential graph must be the odometry
+        # relatives, parity with the NonCorrectedSim3 map)
+        R_cur, t_cur = s.kf_R[kf].copy(), s.kf_t[kf].copy()
+        pre_R, pre_t = s.kf_R.copy(), s.kf_t.copy()
+
+        corrected = {}
+        for g in group:
+            # T_g_cur = T_g_w · T_w_cur
+            Rg, tg = s.kf_R[g], s.kf_t[g]
+            R_gc = Rg @ R_cur.T
+            t_gc = tg - R_gc @ t_cur
+            # corrected S_gw = T_g_cur ∘ S_cur_w:
+            #   x -> R_gc (s_corr R_corr x + t_corr) + t_gc
+            Rn = R_gc @ R_corr
+            tn = (R_gc @ t_corr) + t_gc
+            corrected[g] = (Rn, tn, s_corr)
+
+        # correct landmarks observed by the group: X' = S_new^-1(S_old(X))
+        moved = set()
+        for g in group:
+            Rn, tn, sn = corrected[g]
+            mps = s.kf_mp[g]
+            mps = np.unique(mps[mps >= 0])
+            mps = mps[s.mp_valid[mps]]
+            fresh = [m for m in mps if m not in moved]
+            if not fresh:
+                continue
+            fresh = np.asarray(fresh, np.int64)
+            moved.update(int(m) for m in fresh)
+            X = s.mp_pos[fresh]
+            xc = X @ s.kf_R[g].T + s.kf_t[g]            # old (metric) coords
+            # invert corrected Sim3: X' = (1/s) R^T (xc - t)
+            Xn = ((xc - tn) @ Rn) / sn
+            s.mp_pos[fresh] = Xn
+        # write corrected keyframe poses (scale folded into translation)
+        for g in group:
+            Rn, tn, sn = corrected[g]
+            s.kf_R[g] = Rn
+            s.kf_t[g] = tn / sn
+
+        # fuse loop landmarks into the corrected current KF
+        idx, ids = getattr(self, "_loop_match", (None, None))
+        if idx is not None:
+            for row in np.nonzero(idx >= 0)[0]:
+                mp_new = int(ids[row])
+                feat = int(idx[row])
+                if mp_new < 0 or not s.mp_valid[mp_new]:
+                    continue
+                mp_old = int(s.kf_mp[kf, feat])
+                if mp_old >= 0 and s.mp_valid[mp_old] and mp_old != mp_new:
+                    s.replace_map_point(mp_old, mp_new)
+                elif mp_old < 0:
+                    s.add_observation(mp_new, kf, feat)
+        self.mapper.search_in_neighbors(kf)
+
+        # record loop edge
+        s.kf_loop_edges.setdefault(kf, set()).add(cand)
+        s.kf_loop_edges.setdefault(cand, set()).add(kf)
+        s.update_connections(kf)
+
+        self._optimize_essential_graph(kf, cand, pre_R, pre_t)
+        if cfg.run_global_ba:
+            global_bundle_adjustment(s, cam)
+        # refresh landmark derived state
+        live = s.map_point_ids()
+        s.update_normal_and_depth(live)
+        self.loops.append(dict(kf=kf, cand=cand, **{k: v for k, v in
+                                                    sim3.items()}))
+
+    # ------------------------------------------------------------------
+    def _optimize_essential_graph(self, kf: int, cand: int, pre_R, pre_t):
+        """Build the essential graph (spanning tree + loop + strong covis
+        edges) and run the Sim3 pose-graph GN; then correct landmarks via
+        their reference keyframes. pre_R/pre_t: pose snapshot from BEFORE
+        the Sim3 correction (odometry edge measurements)."""
+        s, cfg = self.store, self.cfg
+        kf_ids = s.keyframe_ids()
+        K = s.cfg.max_keyframes
+        R = s.kf_R.copy().astype(np.float32)
+        t = s.kf_t.copy().astype(np.float32)
+        sc = np.ones(K, np.float32)
+        vert_valid = s.kf_valid.copy()
+        fixed = np.zeros(K, bool)
+        fixed[cand] = True                     # ref fixes the loop KF
+        fixed[~vert_valid] = True
+
+        edges = set()
+        for i in kf_ids:
+            i = int(i)
+            p = int(s.kf_parent[i])
+            if p >= 0 and s.kf_valid[p]:
+                edges.add((min(i, p), max(i, p)))
+            for j in s.kf_loop_edges.get(i, ()):  # loop edges
+                if s.kf_valid[j]:
+                    edges.add((min(i, int(j)), max(i, int(j))))
+            w = s.covis[i]
+            for j in np.nonzero(w >= cfg.covis_edge_min_weight)[0]:
+                if s.kf_valid[j]:
+                    edges.add((min(i, int(j)), max(i, int(j))))
+        edges = sorted(edges)
+        E = max(len(edges), 1)
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        eR = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+        et = np.zeros((E, 3), np.float32)
+        es = np.ones(E, np.float32)
+        evalid = np.zeros(E, bool)
+        for n, (i, j) in enumerate(edges):
+            ei[n], ej[n] = i, j
+            # odometry edges measure the PRE-correction relative pose;
+            # loop edges measure the corrected one (the new constraint)
+            is_loop = j in s.kf_loop_edges.get(i, ())
+            Ri, ti = (s.kf_R[i], s.kf_t[i]) if is_loop else (pre_R[i],
+                                                             pre_t[i])
+            Rj, tj = (s.kf_R[j], s.kf_t[j]) if is_loop else (pre_R[j],
+                                                             pre_t[j])
+            Rji = Rj @ Ri.T
+            tji = tj - Rji @ ti
+            eR[n], et[n] = Rji, tji
+            evalid[n] = True
+        out = optimize_essential_graph(
+            jnp.asarray(R), jnp.asarray(t), jnp.asarray(sc),
+            jnp.asarray(vert_valid), jnp.asarray(fixed),
+            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(eR),
+            jnp.asarray(et), jnp.asarray(es), jnp.asarray(evalid),
+            n_iters=20, fix_scale=cfg.fix_scale)
+        Rn = np.asarray(out["R"])
+        tn = np.asarray(out["t"])
+        sn = np.asarray(out["s"])
+        # landmark correction via reference KF (first observer):
+        # X' = S_new^-1 ( S_old (X) )
+        mp_ids = s.map_point_ids()
+        ref_kf = s.mp_obs_kf[mp_ids, 0]
+        good = ref_kf >= 0
+        mp_ids = mp_ids[good]
+        ref_kf = ref_kf[good]
+        X = s.mp_pos[mp_ids]
+        xc = np.einsum("kij,kj->ki", pre_R[ref_kf], X) + pre_t[ref_kf]
+        Xn = np.einsum("kji,kj->ki",
+                       Rn[ref_kf], xc - tn[ref_kf]) / sn[ref_kf][:, None]
+        s.mp_pos[mp_ids] = Xn
+        # write keyframe poses (SE3 with scale folded into t)
+        ids = s.keyframe_ids()
+        s.kf_R[ids] = Rn[ids]
+        s.kf_t[ids] = tn[ids] / sn[ids][:, None]

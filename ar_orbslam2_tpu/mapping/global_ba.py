@@ -1,0 +1,85 @@
+"""Full-map bundle adjustment gather + run.
+
+Parity: Optimizer::GlobalBundleAdjustemnt (src/Optimizer.cc, sic) and
+LoopClosing::RunGlobalBundleAdjustment (src/LoopClosing.cc:≈600): optimize
+every keyframe pose + landmark against all observations. Shapes are padded
+to power-of-two buckets so repeated global BAs reuse compiled executables.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..estimation.local_ba import bundle_adjust
+
+
+def _bucket(n, lo=16):
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def gather_global(store):
+    """Pack the whole map into the fixed-shape BA problem."""
+    s = store
+    kf_ids = s.keyframe_ids()
+    mp_ids = s.map_point_ids()
+    C = _bucket(len(kf_ids))
+    P = _bucket(len(mp_ids), lo=256)
+    O = s.cfg.max_obs
+
+    kf_arr = np.full(C, -1, np.int64)
+    kf_arr[:len(kf_ids)] = kf_ids
+    sel = np.maximum(kf_arr, 0)
+    cam_R = s.kf_R[sel].copy()
+    cam_t = s.kf_t[sel].copy()
+    cam_valid = kf_arr >= 0
+    cam_fixed = ~cam_valid
+    cam_fixed[np.nonzero(kf_arr == 0)[0]] = True      # gauge: KF0 fixed
+
+    mp_arr = np.full(P, -1, np.int64)
+    mp_arr[:len(mp_ids)] = mp_ids
+    selp = np.maximum(mp_arr, 0)
+    pts = s.mp_pos[selp].copy()
+    pt_valid = mp_arr >= 0
+
+    slot_of = np.full(s.cfg.max_keyframes, -1, np.int64)
+    slot_of[kf_ids] = np.arange(len(kf_ids))
+    okf = s.mp_obs_kf[selp]
+    oft = np.maximum(s.mp_obs_feat[selp], 0)
+    obs_cam = np.where(okf >= 0, slot_of[np.maximum(okf, 0)], -1)
+    obs_valid = (obs_cam >= 0) & pt_valid[:, None]
+    obs_uv = s.kf_uv[np.maximum(okf, 0), oft]
+    obs_oct = s.kf_octave[np.maximum(okf, 0), oft]
+    return dict(kf_arr=kf_arr, mp_arr=mp_arr, n_kf=len(kf_ids),
+                n_mp=len(mp_ids), cam_R=cam_R, cam_t=cam_t,
+                cam_fixed=cam_fixed, cam_valid=cam_valid, pts=pts,
+                pt_valid=pt_valid, obs_cam=obs_cam.astype(np.int32),
+                obs_uv=obs_uv, obs_oct=obs_oct, obs_valid=obs_valid,
+                obs_kf=okf)
+
+
+def global_bundle_adjustment(store, cam, n_iters=20):
+    """Run full BA and write results back into the store."""
+    g = gather_global(store)
+    res = bundle_adjust(
+        jnp.asarray(g["cam_R"]), jnp.asarray(g["cam_t"]),
+        jnp.asarray(g["cam_fixed"]), jnp.asarray(g["cam_valid"]),
+        jnp.asarray(g["pts"]), jnp.asarray(g["pt_valid"]),
+        jnp.asarray(g["obs_cam"]), jnp.asarray(g["obs_uv"]),
+        jnp.asarray(g["obs_oct"]), jnp.asarray(g["obs_valid"]),
+        cam, n_iters_1=n_iters // 2, n_iters_2=n_iters - n_iters // 2)
+    cam_R = np.asarray(res["cam_R"])
+    cam_t = np.asarray(res["cam_t"])
+    pts = np.asarray(res["pts"])
+    s = store
+    nk, nm = g["n_kf"], g["n_mp"]
+    kf_ids = g["kf_arr"][:nk]
+    ok_R = np.isfinite(cam_R[:nk]).all((-1, -2))
+    s.kf_R[kf_ids[ok_R]] = cam_R[:nk][ok_R]
+    s.kf_t[kf_ids[ok_R]] = cam_t[:nk][ok_R]
+    mp_ids = g["mp_arr"][:nm]
+    ok_p = np.isfinite(pts[:nm]).all(-1)
+    s.mp_pos[mp_ids[ok_p]] = pts[:nm][ok_p]
+    return float(np.asarray(res["cost"]))

@@ -1,0 +1,254 @@
+"""SlamSystem — the public facade, parity with the reference System API.
+
+TPU-native redesign of System (src/System.cc, include/System.h, SURVEY.md
+§2.1): same surface — track_monocular/track_stereo/track_rgbd, localization
+mode, reset, shutdown, trajectory export in TUM and KITTI formats — but the
+three POSIX threads become explicit pipeline stages (Tracking -> LocalMapper
+-> LoopCloser) sequenced by the host around fixed-shape jitted kernels.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.camera import Camera
+from ..mapstore.map import MapConfig, MapStore
+from ..mapping.local_mapping import LocalMapper, LocalMapperConfig
+from ..ops import hamming as H
+from .frame import Frame
+from .tracking import Tracking, TrackingConfig
+
+MONOCULAR = "MONOCULAR"
+STEREO = "STEREO"
+RGBD = "RGBD"
+
+
+@dataclass
+class SlamConfig:
+    sensor: str = MONOCULAR
+    map: MapConfig = field(default_factory=MapConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapper: LocalMapperConfig = field(default_factory=LocalMapperConfig)
+    orb_n_features: int = 1000
+    enable_loop_closing: bool = True
+    enable_relocalization: bool = True
+    depth_threshold: float = 40.0      # ThDepth * baseline gate (stereo)
+
+
+class SlamSystem:
+    """End-to-end SLAM pipeline with the reference System's API surface."""
+
+    def __init__(self, cam: Camera, cfg: SlamConfig = SlamConfig()):
+        self.cam = cam
+        self.cfg = cfg
+        self.store = MapStore(cfg.map)
+        self.mapper = LocalMapper(self.store, cam, cfg.mapper)
+        self.tracking = Tracking(self.store, self.mapper, cam, cfg.tracking)
+        self._orb_cfg = None
+        self.kfdb = None
+        if cfg.enable_loop_closing or cfg.enable_relocalization:
+            from ..loop.place_recognition import KeyFrameDatabase
+            self.kfdb = KeyFrameDatabase(self.store)
+        if cfg.enable_loop_closing:
+            from ..loop.loop_closing import LoopCloser
+            self.tracking.loop_closer = LoopCloser(
+                self.store, self.mapper, cam, kfdb=self.kfdb)
+        if cfg.enable_relocalization:
+            from ..estimation.relocalization import Relocalizer
+            self.tracking.relocalizer = Relocalizer(
+                self.store, self.mapper, cam, cfg.tracking, kfdb=self.kfdb)
+        self._next_frame_id = 0
+
+    # ------------------------------------------------------------------
+    # frame construction
+    # ------------------------------------------------------------------
+    def _extract(self, image_u8):
+        """Run the ORB frontend on a grayscale image (device kernels)."""
+        import jax.numpy as jnp
+
+        from ..frontend.orb import OrbConfig, extract_orb
+
+        if self._orb_cfg is None:
+            self._orb_cfg = OrbConfig(n_features=self.cfg.tracking.max_kp)
+        out = extract_orb(jnp.asarray(image_u8), self._orb_cfg)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def make_frame(self, image_u8=None, features=None, timestamp=0.0,
+                   uvr=None, depth=None) -> Frame:
+        """Build a Frame from an image (ORB extraction) or a feature dict
+        (uv / desc (bits) / octave / valid [/ angle]) padded to max_kp."""
+        if features is None:
+            assert image_u8 is not None
+            f = self._extract(image_u8)
+            features = dict(uv=f["uv"], desc=f["desc_bits"],
+                            octave=f["octave"], valid=f["valid"],
+                            angle=f["angle"])
+        P = self.cfg.tracking.max_kp
+
+        def pad(a, fill=0.0):
+            a = np.asarray(a)
+            if a.shape[0] == P:
+                return a
+            out = np.full((P,) + a.shape[1:], fill, a.dtype)
+            out[:a.shape[0]] = a[:P]
+            return out
+
+        uv = pad(features["uv"].astype(np.float32))
+        if self.cam.has_distortion:
+            import jax.numpy as jnp
+
+            from ..core.camera import undistort_points
+            uv = np.asarray(undistort_points(self.cam, jnp.asarray(uv)))
+        frame = Frame(
+            uv=uv,
+            desc_bits=pad(features["desc"].astype(np.uint8)),
+            octave=pad(features["octave"].astype(np.int32)),
+            valid=pad(features["valid"].astype(bool), False),
+            angle=pad(features.get("angle",
+                                   np.zeros(P, np.float32)).astype(np.float32)),
+            uvr=None if uvr is None else pad(uvr.astype(np.float32), -1.0),
+            depth=None if depth is None else pad(depth.astype(np.float32),
+                                                 -1.0),
+            timestamp=timestamp, frame_id=self._next_frame_id)
+        self._next_frame_id += 1
+        return frame
+
+    # ------------------------------------------------------------------
+    # reference API surface
+    # ------------------------------------------------------------------
+    def track_monocular(self, image_u8=None, timestamp=0.0, features=None):
+        """Parity: System::TrackMonocular — returns Tcw (4x4) or None."""
+        frame = self.make_frame(image_u8, features, timestamp)
+        rec = self.tracking.track(frame)
+        self.last_frame = frame
+        if rec.get("ok") and frame.R is not None:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = frame.R
+            T[:3, 3] = frame.t
+            return T
+        return None
+
+    def track_stereo(self, left_u8, right_u8, timestamp=0.0):
+        """Parity: System::TrackStereo."""
+        from ..frontend.stereo import stereo_frame_features
+        feats, uvr, depth = stereo_frame_features(
+            self, left_u8, right_u8)
+        frame = self.make_frame(features=feats, timestamp=timestamp,
+                                uvr=uvr, depth=depth)
+        return self._track_with_depth(frame)
+
+    def track_rgbd(self, image_u8, depth_m, timestamp=0.0, features=None):
+        """Parity: System::TrackRGBD — depth in meters (already scaled)."""
+        frame = self.make_frame(image_u8, features, timestamp)
+        # sample depth at keypoint locations -> stereo-equivalent uvr
+        d = np.asarray(depth_m)
+        ui = np.clip(frame.uv[:, 0].round().astype(int), 0, d.shape[1] - 1)
+        vi = np.clip(frame.uv[:, 1].round().astype(int), 0, d.shape[0] - 1)
+        z = d[vi, ui].astype(np.float32)
+        good = frame.valid & (z > 0)
+        frame.depth = np.where(good, z, -1.0).astype(np.float32)
+        if self.cam.bf > 0:
+            frame.uvr = np.where(good, frame.uv[:, 0] - self.cam.bf
+                                 / np.maximum(z, 1e-6), -1.0).astype(np.float32)
+        return self._track_with_depth(frame)
+
+    def _track_with_depth(self, frame):
+        rec = self.tracking.track(frame)
+        self.last_frame = frame
+        if rec.get("ok") and frame.R is not None:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = frame.R
+            T[:3, 3] = frame.t
+            return T
+        return None
+
+    def activate_localization_mode(self):
+        """Parity: System::ActivateLocalizationMode."""
+        self.tracking.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.tracking.only_tracking = False
+
+    def reset(self):
+        """Parity: System::Reset."""
+        self.tracking.reset()
+
+    def shutdown(self):
+        """Parity: System::Shutdown (no threads to join — pipeline stages
+        are synchronous; kept for API parity)."""
+
+    # ------------------------------------------------------------------
+    # map checkpoint / resume (capability the reference lacks — SURVEY §5.4)
+    # ------------------------------------------------------------------
+    def save_map(self, path):
+        from ..mapstore.checkpoint import save_map
+        save_map(self.store, path)
+
+    def load_map(self, path, localization_only=True):
+        """Restore a saved map; by default enter localization-only mode
+        (track against the loaded map without extending it)."""
+        from ..mapstore.checkpoint import load_map
+        store = load_map(path)
+        self.store.__dict__.update(store.__dict__)
+        self.mapper._signs_cache.clear()
+        t = self.tracking
+        t.state = "LOST"
+        t.ref_kf = int(self.store.keyframe_ids()[-1]) \
+            if self.store.n_keyframes() else -1
+        if t.loop_closer is not None:
+            # rebuild the place-recognition database from the loaded map
+            t.loop_closer.reset()
+            for kf in self.store.keyframe_ids():
+                t.loop_closer.kfdb.add(int(kf))
+            if t.relocalizer is not None:
+                t.relocalizer.kfdb = t.loop_closer.kfdb
+        if localization_only:
+            self.activate_localization_mode()
+
+    # ------------------------------------------------------------------
+    # trajectory export (System::SaveTrajectory* parity)
+    # ------------------------------------------------------------------
+    def keyframe_trajectory(self):
+        """(timestamps, R_wc, t_wc) over live keyframes, id order."""
+        s = self.store
+        ids = s.keyframe_ids()
+        R_cw = s.kf_R[ids]
+        t_cw = s.kf_t[ids]
+        R_wc = np.swapaxes(R_cw, -1, -2)
+        t_wc = -(R_wc @ t_cw[..., None])[..., 0]
+        return s.kf_timestamp[ids], R_wc, t_wc
+
+    def frame_trajectory(self):
+        """Per-frame camera-to-world poses for all tracked frames,
+        re-composed against the FINAL (BA/loop-refined) reference-KF poses.
+        Parity: System::SaveTrajectoryTUM's Tcr * Trw recomposition."""
+        s = self.store
+        ts, Rs, tss = [], [], []
+        for rec in self.tracking.metrics:
+            if "R" not in rec or not rec["ok"]:
+                continue
+            if "R_cr" in rec and rec.get("ref_kf", -1) >= 0:
+                ref = rec["ref_kf"]
+                R_cw = rec["R_cr"] @ s.kf_R[ref]
+                t_cw = rec["R_cr"] @ s.kf_t[ref] + rec["t_cr"]
+            else:
+                R_cw, t_cw = rec["R"], rec["t"]
+            R_wc = R_cw.T
+            ts.append(rec["timestamp"])
+            Rs.append(R_wc)
+            tss.append(-(R_wc @ t_cw))
+        return (np.asarray(ts), np.asarray(Rs), np.asarray(tss))
+
+    def save_keyframe_trajectory_tum(self, path):
+        from ..eval.trajectory import save_tum
+        save_tum(path, *self.keyframe_trajectory())
+
+    def save_trajectory_tum(self, path):
+        from ..eval.trajectory import save_tum
+        save_tum(path, *self.frame_trajectory())
+
+    def save_trajectory_kitti(self, path):
+        from ..eval.trajectory import save_kitti
+        _, R_wc, t_wc = self.frame_trajectory()
+        save_kitti(path, R_wc, t_wc)

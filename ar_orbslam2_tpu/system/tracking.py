@@ -1,0 +1,522 @@
+"""Tracking front end — the per-frame state machine.
+
+TPU-native redesign of Tracking (src/Tracking.cc, SURVEY.md §3.2): the
+state machine (NOT_INITIALIZED -> OK -> LOST) and keyframe decision live on
+the host as cheap scalar logic; every numeric stage — projective search,
+motion-only BA, local-map search — is a fixed-shape jitted kernel so the
+whole per-frame hot path compiles once and reruns at device speed.
+
+Pipeline per frame (parity with Tracking::Track):
+  predict pose (velocity model) -> SearchByProjection vs last frame's
+  landmarks -> PoseOptimization -> TrackLocalMap (covisibility expansion +
+  SearchLocalPoints + PoseOptimization) -> inlier gates -> keyframe decision
+  -> LocalMapper stage. Relocalization recovers from LOST via EPnP RANSAC.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..estimation.initializer import initialize_two_view
+from ..estimation.pose_opt import pose_optimization
+from ..matching import matcher
+from ..ops import hamming as H
+from .frame import Frame
+
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+LOST = "LOST"
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    max_kp: int = 1024              # padded features per frame
+    n_local_mp: int = 4096          # padded local-map landmark bundle
+    n_local_kf: int = 16            # covisibility expansion size
+    min_init_matches: int = 100     # mono init gate (ref: 100)
+    min_track_matches: int = 20     # SearchByProjection gate (ref: 20)
+    min_inliers_track: int = 10     # PoseOptimization gate (ref: 10)
+    min_inliers_local: int = 30     # TrackLocalMap gate (ref: 30)
+    min_inliers_reloc: int = 50     # gate right after relocalization
+    max_frames_between_kf: int = 30  # ref: fps
+    kf_ref_ratio: float = 0.9       # need-KF: tracked < 0.9 * ref matches
+    min_matches_new_kf: int = 15
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    reset_if_lost_before_kfs: int = 5
+
+
+# ---------------------------------------------------------------------------
+# jitted per-frame kernels (fixed shapes; cam static)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cam",))
+def _motion_track(cam, R_pred, t_pred, lm_pos, lm_signs, lm_oct, lm_valid,
+                  kp_uv, kp_signs, kp_oct, kp_valid):
+    """SearchByProjection(last frame) + motion-only BA. Returns
+    (R, t, n_inliers, n_matches, kp_match (N_lm,) int32)."""
+    idx, _ = matcher.search_by_projection_frame(
+        cam, R_pred, t_pred, lm_pos, lm_signs, lm_oct, lm_valid,
+        kp_uv, kp_signs, kp_oct, kp_valid)
+    matched = idx >= 0
+    j = jnp.maximum(idx, 0)
+    res = pose_optimization(R_pred, t_pred, lm_pos, kp_uv[j],
+                            kp_oct[j], matched, cam)
+    inlier = res["inlier"] & matched
+    return (res["R"], res["t"], jnp.sum(inlier.astype(jnp.int32)),
+            jnp.sum(matched.astype(jnp.int32)),
+            jnp.where(inlier, idx, -1))
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def _bow_track(cam, R0, t0, lm_pos, lm_signs, lm_valid, lm_oct,
+               kp_uv, kp_signs, kp_oct, kp_valid):
+    """TrackReferenceKeyFrame analog: unwindowed descriptor search against
+    the reference KF's landmarks (replaces SearchByBoW) + motion-only BA."""
+    idx, _ = matcher.search_brute_force(lm_signs, lm_valid,
+                                        kp_signs, kp_valid,
+                                        th=H.TH_LOW, nn_ratio=0.75)
+    matched = idx >= 0
+    j = jnp.maximum(idx, 0)
+    res = pose_optimization(R0, t0, lm_pos, kp_uv[j], kp_oct[j],
+                            matched, cam)
+    inlier = res["inlier"] & matched
+    return (res["R"], res["t"], jnp.sum(inlier.astype(jnp.int32)),
+            jnp.sum(matched.astype(jnp.int32)),
+            jnp.where(inlier, idx, -1))
+
+
+@partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def _local_map_track(cam, R0, t0, mp_pos, mp_signs, mp_normal, mp_dmin,
+                     mp_dmax, mp_valid, kp_uv, kp_signs, kp_oct, kp_valid,
+                     scale_factor=1.2, n_levels=8):
+    """SearchLocalPoints + final PoseOptimization. Returns
+    (R, t, n_inliers, kp_match (N_mp,), visible (N_mp,), inlier (N_mp,))."""
+    idx, visible, _ = matcher.search_local_points(
+        cam, R0, t0, mp_pos, mp_signs, mp_normal, mp_dmin, mp_dmax,
+        mp_valid, kp_uv, kp_signs, kp_oct, kp_valid,
+        n_levels=n_levels, scale_factor=scale_factor)
+    matched = idx >= 0
+    j = jnp.maximum(idx, 0)
+    res = pose_optimization(R0, t0, mp_pos, kp_uv[j], kp_oct[j],
+                            matched, cam)
+    inlier = res["inlier"] & matched
+    return (res["R"], res["t"], jnp.sum(inlier.astype(jnp.int32)),
+            jnp.where(inlier, idx, -1), visible, inlier)
+
+
+@partial(jax.jit, static_argnames=())
+def _init_match(uv1, signs1, valid1, angles1, uv2, signs2, valid2, angles2):
+    return matcher.search_for_initialization(
+        uv1, signs1, valid1, uv2, signs2, valid2,
+        angles1=angles1, angles2=angles2)
+
+
+class Tracking:
+    """Host state machine driving the jitted per-frame kernels."""
+
+    def __init__(self, store, local_mapper, cam,
+                 cfg: TrackingConfig = TrackingConfig(),
+                 relocalizer=None, loop_closer=None):
+        self.store = store
+        self.mapper = local_mapper
+        self.cam = cam
+        self.cfg = cfg
+        self.relocalizer = relocalizer      # set by SlamSystem
+        self.loop_closer = loop_closer
+        self.state = NOT_INITIALIZED
+        self.only_tracking = False
+        self.last_frame: Frame | None = None
+        self.velocity = None                # (R, t) of T_cur * T_last^-1
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.last_reloc_frame_id = -1_000_000
+        self.init_frame: Frame | None = None
+        self.metrics: list[dict] = []
+        self.n_resets = 0
+
+    # ------------------------------------------------------------------
+    def track(self, frame: Frame) -> dict:
+        """Process one frame; returns a metrics dict incl. pose if OK."""
+        if self.state == NOT_INITIALIZED:
+            if frame.depth is not None and \
+                    int((frame.depth > 0).sum()) >= 100:
+                ok = self._initialize_stereo(frame)
+            else:
+                ok = self._initialize_monocular(frame)
+            rec = self._record(frame, ok_flag=ok, n_inliers=0)
+            self.last_frame = frame
+            return rec
+
+        n_inliers = 0
+        ok = False
+        if self.state == OK:
+            ok, n_inliers = self._track_from_last(frame)
+        if self.state == LOST or not ok:
+            ok, n_inliers = self._relocalize(frame)
+            if ok:
+                self.last_reloc_frame_id = frame.frame_id
+
+        if ok:
+            ok, n_inliers = self._track_local_map(frame, n_inliers)
+
+        if ok:
+            self.state = OK
+            if self.last_frame is not None and self.last_frame.R is not None:
+                Rv, tv = lie.se3_mul(
+                    jnp.asarray(frame.R), jnp.asarray(frame.t),
+                    *lie.se3_inv(jnp.asarray(self.last_frame.R),
+                                 jnp.asarray(self.last_frame.t)))
+                self.velocity = (np.asarray(Rv), np.asarray(tv))
+            if self._need_new_keyframe(frame, n_inliers):
+                self._create_keyframe(frame)
+        else:
+            self.state = LOST
+            self.velocity = None
+            if self.store.n_keyframes() <= self.cfg.reset_if_lost_before_kfs:
+                self.reset()
+        rec = self._record(frame, ok_flag=ok, n_inliers=n_inliers)
+        self.last_frame = frame
+        return rec
+
+    # ------------------------------------------------------------------
+    def _record(self, frame, ok_flag, n_inliers):
+        rec = dict(frame_id=frame.frame_id, timestamp=frame.timestamp,
+                   state=self.state, ok=bool(ok_flag),
+                   n_inliers=int(n_inliers),
+                   n_kf=self.store.n_keyframes(),
+                   n_mp=self.store.n_map_points())
+        if frame.R is not None:
+            rec["R"] = frame.R.copy()
+            rec["t"] = frame.t.copy()
+            rec["ref_kf"] = self.ref_kf
+            # relative pose to the reference KF at track time, so the
+            # final trajectory benefits from later BA/loop refinement of
+            # the KF (parity: mlRelativeFramePoses in SaveTrajectoryTUM)
+            if self.ref_kf >= 0:
+                R_rw = self.store.kf_R[self.ref_kf]
+                t_rw = self.store.kf_t[self.ref_kf]
+                R_cr = frame.R @ R_rw.T
+                rec["R_cr"] = R_cr
+                rec["t_cr"] = frame.t - R_cr @ t_rw
+        self.metrics.append(rec)
+        return rec
+
+    # ------------------------------------------------------------------
+    # monocular initialization (Tracking::MonocularInitialization)
+    # ------------------------------------------------------------------
+    def _initialize_monocular(self, frame: Frame) -> bool:
+        if self.init_frame is None or self.init_frame.n_kp < self.cfg.min_init_matches:
+            self.init_frame = frame
+            return False
+        f0 = self.init_frame
+        idx, _ = _init_match(
+            jnp.asarray(f0.uv), f0.signs, jnp.asarray(f0.valid),
+            jnp.asarray(f0.angle),
+            jnp.asarray(frame.uv), frame.signs, jnp.asarray(frame.valid),
+            jnp.asarray(frame.angle))
+        idx = np.asarray(idx)
+        n_matches = int((idx >= 0).sum())
+        if n_matches < self.cfg.min_init_matches:
+            self.init_frame = frame
+            return False
+        rows = np.nonzero(idx >= 0)[0]
+        uv1 = jnp.asarray(f0.uv[rows])
+        uv2 = jnp.asarray(frame.uv[idx[rows]])
+        valid = jnp.ones(len(rows), bool)
+        out = initialize_two_view(uv1, uv2, valid, self.cam.K,
+                                  jax.random.PRNGKey(0))
+        if out is None:
+            return False
+        good = out["good"]
+        self._create_initial_map(f0, frame, rows, idx[rows], out["R21"],
+                                 out["t21"], out["xw"], good)
+        return True
+
+    def _create_initial_map(self, f0, f1, feats0, feats1, R21, t21, xw, good):
+        """Parity: Tracking::CreateInitialMapMonocular — two KFs, landmarks,
+        global BA, median-depth scale normalization."""
+        s = self.store
+        kf0 = s.add_keyframe(np.eye(3, dtype=np.float32),
+                             np.zeros(3, np.float32),
+                             f0.uv, f0.desc_packed, f0.octave, f0.valid,
+                             timestamp=f0.timestamp, frame_id=f0.frame_id,
+                             angle=f0.angle)
+        kf1 = s.add_keyframe(R21, t21, f1.uv, f1.desc_packed, f1.octave,
+                             f1.valid, timestamp=f1.timestamp,
+                             frame_id=f1.frame_id, angle=f1.angle)
+        g = np.nonzero(np.asarray(good))[0]
+        ids = s.add_map_points(np.asarray(xw)[g],
+                               f1.desc_packed[feats1[g]], first_kf=kf0)
+        for m, i in zip(ids, g):
+            s.add_observation(int(m), kf0, int(feats0[i]))
+            s.add_observation(int(m), kf1, int(feats1[i]))
+        s.compute_distinctive_descriptors(ids)
+        s.update_normal_and_depth(ids)
+        s.update_connections(kf0)
+        s.update_connections(kf1)
+        # global BA over the 2-view map (ref: GlobalBundleAdjustemnt(20))
+        self.mapper.local_bundle_adjustment(kf1)
+        # scale so median scene depth = 1 (mono gauge)
+        depth = s.median_scene_depth(kf0)
+        if depth <= 0 or s.mp_nobs[ids].max(initial=0) < 2:
+            self.reset()
+            return
+        s.kf_t[kf1] /= depth
+        live = ids[s.mp_valid[ids]]
+        s.mp_pos[live] /= depth
+        s.update_normal_and_depth(live)
+        f0.set_pose(s.kf_R[kf0], s.kf_t[kf0])
+        f1.set_pose(s.kf_R[kf1], s.kf_t[kf1])
+        f1.mp[:] = -1
+        f1.mp[feats1[g]] = np.where(s.mp_valid[ids], ids, -1)
+        self.ref_kf = kf1
+        self.last_kf_frame_id = f1.frame_id
+        self.state = OK
+        self.init_frame = None
+        self._register_kf_in_db(kf0)
+        self._register_kf_in_db(kf1)
+
+    def _initialize_stereo(self, frame: Frame) -> bool:
+        """Parity: Tracking::StereoInitialization — unproject keypoints
+        with known depth into landmarks, single keyframe, state OK."""
+        s = self.store
+        frame.set_pose(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        kf = s.add_keyframe(frame.R, frame.t, frame.uv, frame.desc_packed,
+                            frame.octave, frame.valid,
+                            timestamp=frame.timestamp,
+                            frame_id=frame.frame_id, angle=frame.angle,
+                            uvr=frame.uvr, depth=frame.depth)
+        feats = np.nonzero(frame.valid & (frame.depth > 0))[0]
+        z = frame.depth[feats]
+        uv = frame.uv[feats]
+        x = (uv[:, 0] - self.cam.cx) * z / self.cam.fx
+        y = (uv[:, 1] - self.cam.cy) * z / self.cam.fy
+        xw = np.stack([x, y, z], -1).astype(np.float32)
+        ids = s.add_map_points(xw, frame.desc_packed[feats], first_kf=kf)
+        for m, f in zip(ids, feats):
+            s.add_observation(int(m), kf, int(f))
+        s.compute_distinctive_descriptors(ids)
+        s.update_normal_and_depth(ids)
+        s.update_connections(kf)
+        frame.mp[feats] = ids
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        self.state = OK
+        self._register_kf_in_db(kf)
+        return True
+
+    # ------------------------------------------------------------------
+    # frame-to-frame tracking
+    # ------------------------------------------------------------------
+    def _gather_frame_landmarks(self, frame: Frame):
+        """Fixed-shape bundle of the landmarks bound to a frame."""
+        s, P = self.store, self.cfg.max_kp
+        mp = frame.mp
+        live = (mp >= 0) & s.mp_valid[np.maximum(mp, 0)]
+        sel = np.where(live, mp, 0)
+        pos = s.mp_pos[sel]
+        signs = H.to_signs(H.unpack_bits(s.mp_desc[sel]))
+        oct_ = frame.octave
+        return (jnp.asarray(pos), signs, jnp.asarray(oct_),
+                jnp.asarray(live), np.where(live, mp, -1))
+
+    def _track_from_last(self, frame: Frame):
+        """TrackWithMotionModel with TrackReferenceKeyFrame fallback."""
+        cfg = self.cfg
+        last = self.last_frame
+        if (self.velocity is not None and last is not None
+                and last.R is not None and (last.mp >= 0).any()):
+            R_pred, t_pred = lie.se3_mul(
+                jnp.asarray(self.velocity[0]), jnp.asarray(self.velocity[1]),
+                jnp.asarray(last.R), jnp.asarray(last.t))
+            pos, signs, oct_, live, mp_ids = self._gather_frame_landmarks(last)
+            R, t, n_inl, n_match, kp_match = _motion_track(
+                self.cam, R_pred, t_pred, pos, signs, oct_, live,
+                jnp.asarray(frame.uv), frame.signs,
+                jnp.asarray(frame.octave), jnp.asarray(frame.valid))
+            n_inl = int(n_inl)
+            if int(n_match) >= cfg.min_track_matches and \
+                    n_inl >= cfg.min_inliers_track:
+                frame.set_pose(np.asarray(R), np.asarray(t))
+                self._bind(frame, mp_ids, np.asarray(kp_match))
+                return True, n_inl
+        return self._track_reference_kf(frame)
+
+    def _track_reference_kf(self, frame: Frame):
+        cfg, s = self.cfg, self.store
+        if self.ref_kf < 0 or not s.kf_valid[self.ref_kf]:
+            return False, 0
+        kf = self.ref_kf
+        mp = s.kf_mp[kf]
+        live = (mp >= 0) & s.mp_valid[np.maximum(mp, 0)]
+        sel = np.where(live, mp, 0)
+        pos = jnp.asarray(s.mp_pos[sel])
+        signs = H.to_signs(H.unpack_bits(s.mp_desc[sel]))
+        R0 = self.last_frame.R if (self.last_frame is not None
+                                   and self.last_frame.R is not None) \
+            else s.kf_R[kf]
+        t0 = self.last_frame.t if (self.last_frame is not None
+                                   and self.last_frame.t is not None) \
+            else s.kf_t[kf]
+        R, t, n_inl, n_match, kp_match = _bow_track(
+            self.cam, jnp.asarray(R0), jnp.asarray(t0), pos, signs,
+            jnp.asarray(live), jnp.asarray(s.kf_octave[kf]),
+            jnp.asarray(frame.uv), frame.signs,
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid))
+        n_inl = int(n_inl)
+        if int(n_match) < 15 or n_inl < cfg.min_inliers_track:
+            return False, 0
+        frame.set_pose(np.asarray(R), np.asarray(t))
+        self._bind(frame, np.where(live, mp, -1), np.asarray(kp_match))
+        return True, n_inl
+
+    def _bind(self, frame: Frame, mp_ids, kp_match):
+        """Write landmark->keypoint matches into the frame (per-kp mp)."""
+        frame.mp[:] = -1
+        rows = np.nonzero((kp_match >= 0) & (mp_ids >= 0))[0]
+        frame.mp[kp_match[rows]] = mp_ids[rows]
+
+    # ------------------------------------------------------------------
+    # local map tracking
+    # ------------------------------------------------------------------
+    def _local_keyframes(self, frame: Frame):
+        """K1 = KFs observing the frame's landmarks (vote), + covisible
+        expansion (parity: Tracking::UpdateLocalKeyFrames)."""
+        s = self.store
+        mp = frame.mp[frame.mp >= 0]
+        mp = mp[s.mp_valid[mp]]
+        if len(mp) == 0:
+            return np.asarray([self.ref_kf] if self.ref_kf >= 0 else [],
+                              np.int64)
+        okf = s.mp_obs_kf[mp]
+        okf = okf[okf >= 0]
+        votes = np.bincount(okf, minlength=s.cfg.max_keyframes)
+        k1 = np.nonzero(votes)[0]
+        k1 = k1[s.kf_valid[k1]]
+        order = np.argsort(-votes[k1], kind="stable")
+        k1 = k1[order][:self.cfg.n_local_kf]
+        # ref kf := max-vote keyframe
+        if len(k1):
+            self.ref_kf = int(k1[0])
+        out = list(k1)
+        seen = set(out)
+        for k in k1:
+            for nb in s.covisible_keyframes(int(k), n_best=5):
+                if int(nb) not in seen and len(out) < 2 * self.cfg.n_local_kf:
+                    out.append(int(nb))
+                    seen.add(int(nb))
+        return np.asarray(out, np.int64)
+
+    def _track_local_map(self, frame: Frame, n_inliers_in):
+        cfg, s = self.cfg, self.store
+        local_kf = self._local_keyframes(frame)
+        if len(local_kf) == 0:
+            return False, 0
+        mp_ids = s.local_map_points(local_kf)
+        bundle = s.gather_map_points(mp_ids, pad_to=cfg.n_local_mp)
+        signs = H.to_signs(H.unpack_bits(bundle["desc"]))
+        R, t, n_inl, kp_match, visible, inlier = _local_map_track(
+            self.cam, jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(bundle["pos"]), signs,
+            jnp.asarray(bundle["normal"]), jnp.asarray(bundle["dmin"]),
+            jnp.asarray(bundle["dmax"]), jnp.asarray(bundle["valid"]),
+            jnp.asarray(frame.uv), frame.signs,
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
+        n_inl = int(n_inl)
+        ids = np.asarray(bundle["ids"])
+        vis = np.asarray(visible) & (ids >= 0)
+        inl = np.asarray(inlier) & vis
+        # visibility / found counters (MapPoint::IncreaseVisible/Found)
+        s.mp_visible[ids[vis]] += 1
+        s.mp_found[ids[inl]] += 1
+        gate = cfg.min_inliers_reloc if (
+            frame.frame_id - self.last_reloc_frame_id
+            < cfg.max_frames_between_kf) else cfg.min_inliers_local
+        if n_inl < gate:
+            return False, n_inl
+        frame.set_pose(np.asarray(R), np.asarray(t))
+        self._bind(frame, ids, np.asarray(kp_match))
+        return True, n_inl
+
+    # ------------------------------------------------------------------
+    # keyframe decision + creation
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame: Frame, n_inliers) -> bool:
+        cfg, s = self.cfg, self.store
+        if self.only_tracking:
+            return False
+        if frame.frame_id - self.last_reloc_frame_id < cfg.max_frames_between_kf \
+                and s.n_keyframes() > cfg.max_frames_between_kf:
+            return False
+        if self.ref_kf < 0:
+            return False
+        min_obs = 3 if s.n_keyframes() > 2 else 2
+        ref_mp = s.kf_mp[self.ref_kf]
+        ref_mp = ref_mp[ref_mp >= 0]
+        n_ref = int((s.mp_nobs[ref_mp] >= min_obs).sum()) if len(ref_mp) else 0
+        c1a = frame.frame_id >= self.last_kf_frame_id + cfg.max_frames_between_kf
+        c1b = frame.frame_id >= self.last_kf_frame_id + 1
+        c2 = (n_inliers < cfg.kf_ref_ratio * n_ref
+              and n_inliers > cfg.min_matches_new_kf)
+        return bool((c1a and n_inliers > cfg.min_matches_new_kf) or (c1b and c2))
+
+    def _create_keyframe(self, frame: Frame):
+        s = self.store
+        kf = s.add_keyframe(frame.R, frame.t, frame.uv, frame.desc_packed,
+                            frame.octave, frame.valid,
+                            timestamp=frame.timestamp,
+                            frame_id=frame.frame_id, angle=frame.angle,
+                            uvr=frame.uvr, depth=frame.depth)
+        feats = np.nonzero(frame.mp >= 0)[0]
+        mps = frame.mp[feats]
+        live = s.mp_valid[mps]
+        for m, f in zip(mps[live], feats[live]):
+            s.add_observation(int(m), kf, int(f))
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        self.mapper.process_keyframe(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf)
+        elif self.relocalizer is not None and \
+                self.relocalizer.kfdb is not None:
+            self.relocalizer.kfdb.add(kf)
+
+    def _register_kf_in_db(self, kf: int):
+        """Add a keyframe created outside _create_keyframe (map init) to
+        the place-recognition database without running loop detection."""
+        if self.loop_closer is not None:
+            self.loop_closer.kfdb.add(kf)
+        elif self.relocalizer is not None and \
+                self.relocalizer.kfdb is not None:
+            self.relocalizer.kfdb.add(kf)
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame: Frame):
+        if self.relocalizer is None:
+            return False, 0
+        out = self.relocalizer.relocalize(frame)
+        if out is None:
+            return False, 0
+        return True, out
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Parity: Tracking::Reset — clear map + state, restart init."""
+        s = self.store
+        s.__init__(s.cfg)
+        self.mapper._signs_cache.clear()
+        self.mapper.recent.clear()
+        self.state = NOT_INITIALIZED
+        self.velocity = None
+        self.ref_kf = -1
+        self.init_frame = None
+        self.last_kf_frame_id = -1
+        self.n_resets += 1
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
