@@ -145,13 +145,17 @@ def observe_frame(scene: SyntheticScene, frame_idx: int, cam, *,
     d = scene.desc_bits[ids].copy()
     flip = rng.random(d.shape) < bit_flip
     desc[:k] = d ^ flip.astype(np.uint8)
-    # depth -> octave following the real pyramid model (MapPoint::
+    # distance -> octave following the real pyramid model (MapPoint::
     # PredictScale): a feature of fixed physical size appears LARGER when
-    # closer, so it is detected at a COARSER octave: oct = log(z_far/z)/
-    # log(s) with a GLOBAL z_far. This keeps octave differences consistent
-    # with distance ratios across frames, which the scale-consistency and
-    # octave-window gates rely on.
-    zr = z[ids]
+    # closer, so it is detected at a COARSER octave: oct = log(d_far/d)/
+    # log(s) with a GLOBAL d_far. Apparent size scales with the EUCLIDEAN
+    # distance from the camera center (not z-depth) — using distance here
+    # keeps detected octaves consistent with PredictScale's
+    # distance-based prediction, which the [pred-1, pred] octave match
+    # window relies on (off-axis points differ by up to a level otherwise).
+    R_wc_t = R.T
+    center = -(R_wc_t @ t)
+    zr = np.linalg.norm(scene.landmarks[ids] - center, axis=1)
     z_far = 10.0
     oct_f = np.ceil(np.log(np.maximum(z_far / zr, 1.0))
                     / np.log(scale_factor))

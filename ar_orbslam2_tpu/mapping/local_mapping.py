@@ -48,6 +48,7 @@ class LocalMapper:
         self._signs_cache: dict[int, jnp.ndarray] = {}
         # recently created landmarks: mp_id -> kf_id at creation
         self.recent: dict[int, int] = {}
+        self.last_stats: dict = {}   # per-KF diagnostics (culled/created)
 
     # -- cached device views of per-KF descriptors (KF desc are immutable) --
     def kf_signs(self, kf: int):
@@ -66,14 +67,14 @@ class LocalMapper:
                          do_culling: bool = True):
         """Full mapping step for a freshly inserted keyframe."""
         self._process_new_keyframe(kf)
-        if do_culling:
-            self.cull_map_points(kf)
+        n_culled = self.cull_map_points(kf) if do_culling else 0
         n_new = self.create_new_map_points(kf)
         self.search_in_neighbors(kf)
         if do_ba and self.store.n_keyframes() > 2:
             self.local_bundle_adjustment(kf)
         if do_culling:
             self.cull_keyframes(kf)
+        self.last_stats = dict(kf=kf, n_culled=n_culled, n_new=n_new)
         return n_new
 
     # ------------------------------------------------------------------
@@ -108,8 +109,10 @@ class LocalMapper:
                 dead.append(mp)
             elif age >= 3:
                 graduated.append(mp)
+        n_culled = sum(1 for m in dead if not self.store.mp_valid[m])
         for mp in dead + graduated:
             self.recent.pop(mp, None)
+        return n_culled
 
     # ------------------------------------------------------------------
     def create_new_map_points(self, kf: int) -> int:

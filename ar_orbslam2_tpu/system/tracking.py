@@ -138,6 +138,7 @@ class Tracking:
         self.init_frame: Frame | None = None
         self.metrics: list[dict] = []
         self.n_resets = 0
+        self._dbg: dict = {}     # per-frame stage diagnostics -> metrics
 
     # ------------------------------------------------------------------
     def track(self, frame: Frame) -> dict:
@@ -189,7 +190,9 @@ class Tracking:
                    state=self.state, ok=bool(ok_flag),
                    n_inliers=int(n_inliers),
                    n_kf=self.store.n_keyframes(),
-                   n_mp=self.store.n_map_points())
+                   n_mp=self.store.n_map_points(),
+                   **self._dbg)
+        self._dbg = {}
         if frame.R is not None:
             rec["R"] = frame.R.copy()
             rec["t"] = frame.t.copy()
@@ -340,6 +343,8 @@ class Tracking:
                 jnp.asarray(frame.uv), frame.signs,
                 jnp.asarray(frame.octave), jnp.asarray(frame.valid))
             n_inl = int(n_inl)
+            self._dbg["motion_matches"] = int(n_match)
+            self._dbg["motion_inliers"] = n_inl
             if int(n_match) >= cfg.min_track_matches and \
                     n_inl >= cfg.min_inliers_track:
                 frame.set_pose(np.asarray(R), np.asarray(t))
@@ -432,6 +437,10 @@ class Tracking:
         ids = np.asarray(bundle["ids"])
         vis = np.asarray(visible) & (ids >= 0)
         inl = np.asarray(inlier) & vis
+        self._dbg["local_n_mp"] = int((ids >= 0).sum())
+        self._dbg["local_visible"] = int(vis.sum())
+        self._dbg["local_inliers"] = n_inl
+        self._dbg["n_local_kf"] = len(local_kf)
         # visibility / found counters (MapPoint::IncreaseVisible/Found)
         s.mp_visible[ids[vis]] += 1
         s.mp_found[ids[inl]] += 1
@@ -480,7 +489,8 @@ class Tracking:
             s.add_observation(int(m), kf, int(f))
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
-        self.mapper.process_keyframe(kf)
+        self._dbg["new_kf"] = kf
+        self._dbg["n_new_mp"] = self.mapper.process_keyframe(kf)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)
         elif self.relocalizer is not None and \
