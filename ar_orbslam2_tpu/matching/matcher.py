@@ -41,22 +41,17 @@ def windowed_match(query_uv, query_signs, query_valid, radius,
       idx: (N,) int32 — matched keypoint per query, -1 if none.
       dist: (N,) int32 — Hamming distance of the match (garbage where -1).
     """
-    D = H.hamming_matrix(query_signs, kp_signs, query_valid, kp_valid,
-                         invalid_dist=INVALID)
-    du = jnp.abs(query_uv[:, None, 0] - kp_uv[None, :, 0])
-    dv = jnp.abs(query_uv[:, None, 1] - kp_uv[None, :, 1])
-    r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), query_uv.shape[:1])
-    in_win = (du <= r[:, None]) & (dv <= r[:, None])
-    if octave_lo is not None:
-        in_oct = ((kp_octave[None, :] >= octave_lo[:, None])
-                  & (kp_octave[None, :] <= octave_hi[:, None]))
-        in_win = in_win & in_oct
-    D = jnp.where(in_win, D, INVALID)
-    idx, dist = H.best_match(D, th=th, nn_ratio=nn_ratio)
-    if mutual:
-        idx_back, _ = H.best_match(jnp.swapaxes(D, 0, 1), th=th, nn_ratio=1.0)
-        idx = H.mutual_filter(idx, idx_back)
-    return idx, dist
+    from ..ops.pallas_hamming import fused_windowed_top2
+
+    n = query_uv.shape[0]
+    r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (n,))
+    if octave_lo is None:
+        octave_lo = jnp.full((n,), -(10 ** 6), jnp.int32)
+        octave_hi = jnp.full((n,), 10 ** 6, jnp.int32)
+    return fused_windowed_top2(
+        query_signs, query_uv, r, octave_lo, octave_hi, query_valid,
+        kp_signs, kp_uv, kp_octave, kp_valid,
+        th=th, nn_ratio=nn_ratio, mutual=mutual)
 
 
 def search_for_initialization(uv1, signs1, valid1, uv2, signs2, valid2,

@@ -82,10 +82,11 @@ def best_match(dist, th=TH_LOW, nn_ratio=1.0):
     Parity with ORBmatcher's best/secondbest bookkeeping (mfNNratio).
     Returns (idx (N,) int32 with -1 for no match, best_dist (N,) int32).
     """
-    order = jnp.argsort(dist, axis=1)
-    best = order[:, 0]
-    d0 = jnp.take_along_axis(dist, order[:, 0:1], 1)[:, 0]
-    d1 = jnp.take_along_axis(dist, order[:, 1:2], 1)[:, 0]
+    # top-2 smallest via top_k on the negated distances — O(M) per row on
+    # the VPU instead of a full argsort.
+    neg_vals, idx = jax.lax.top_k(-dist, 2)
+    best = idx[:, 0]
+    d0, d1 = -neg_vals[:, 0], -neg_vals[:, 1]
     ok = (d0 <= th) & (d0.astype(jnp.float32)
                        <= nn_ratio * d1.astype(jnp.float32))
     return jnp.where(ok, best, -1).astype(jnp.int32), d0
