@@ -263,3 +263,21 @@ def quat_to_rot(q):
         jnp.stack([xy + wz, 1.0 - xx - zz, yz - wx], -1),
         jnp.stack([xz - wy, yz + wx, 1.0 - xx - yy], -1),
     ], -2)
+
+
+def project_so3(R):
+    """Nearest rotation matrix (Frobenius) via SVD — numpy, host-side.
+
+    Per-frame pose chaining in float32 (velocity composition + repeated
+    exp-retraction in pose optimization) accumulates orthonormality error
+    GEOMETRICALLY (~x2/frame observed); projecting at the pose-write
+    boundaries (Frame.set_pose, BA write-back) keeps R^T a valid inverse.
+    Works on (..., 3, 3) batches.
+    """
+    import numpy as np
+    R = np.asarray(R, np.float64)
+    U, _, Vt = np.linalg.svd(R)
+    det = np.linalg.det(U @ Vt)
+    D = np.ones(R.shape[:-2] + (3,))
+    D[..., 2] = np.sign(det)
+    return ((U * D[..., None, :]) @ Vt).astype(np.float32)

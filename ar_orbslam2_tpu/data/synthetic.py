@@ -140,6 +140,8 @@ def observe_frame(scene: SyntheticScene, frame_idx: int, cam, *,
     octave = np.zeros(max_kp, np.int32)
     lm = np.full(max_kp, -1, np.int32)
     valid = np.zeros(max_kp, bool)
+    depth = np.full(max_kp, -1.0, np.float32)
+    depth[:k] = z[ids] * (1.0 + rng.normal(0, 0.002, k))   # GT z-depth
 
     uv[:k] = np.stack([u[ids], v[ids]], 1) + rng.normal(0, noise_px, (k, 2))
     d = scene.desc_bits[ids].copy()
@@ -163,7 +165,7 @@ def observe_frame(scene: SyntheticScene, frame_idx: int, cam, *,
     lm[:k] = ids
     valid[:k] = True
     return dict(uv=uv, desc=desc, octave=octave, valid=valid,
-                landmark_id=lm, n_valid=k)
+                landmark_id=lm, n_valid=k, depth=depth)
 
 
 # ---------------------------------------------------------------------------

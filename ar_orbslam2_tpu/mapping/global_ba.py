@@ -52,12 +52,14 @@ def gather_global(store):
     obs_valid = (obs_cam >= 0) & pt_valid[:, None]
     obs_uv = s.kf_uv[np.maximum(okf, 0), oft]
     obs_oct = s.kf_octave[np.maximum(okf, 0), oft]
+    obs_uvr = np.where(okf >= 0, s.kf_uvr[np.maximum(okf, 0), oft],
+                       -1.0).astype(np.float32)
     return dict(kf_arr=kf_arr, mp_arr=mp_arr, n_kf=len(kf_ids),
                 n_mp=len(mp_ids), cam_R=cam_R, cam_t=cam_t,
                 cam_fixed=cam_fixed, cam_valid=cam_valid, pts=pts,
                 pt_valid=pt_valid, obs_cam=obs_cam.astype(np.int32),
                 obs_uv=obs_uv, obs_oct=obs_oct, obs_valid=obs_valid,
-                obs_kf=okf)
+                obs_uvr=obs_uvr, obs_kf=okf)
 
 
 def global_bundle_adjustment(store, cam, n_iters=20):
@@ -69,8 +71,10 @@ def global_bundle_adjustment(store, cam, n_iters=20):
         jnp.asarray(g["pts"]), jnp.asarray(g["pt_valid"]),
         jnp.asarray(g["obs_cam"]), jnp.asarray(g["obs_uv"]),
         jnp.asarray(g["obs_oct"]), jnp.asarray(g["obs_valid"]),
-        cam, n_iters_1=n_iters // 2, n_iters_2=n_iters - n_iters // 2)
-    cam_R = np.asarray(res["cam_R"])
+        cam, obs_uvr=jnp.asarray(g["obs_uvr"]),
+        n_iters_1=n_iters // 2, n_iters_2=n_iters - n_iters // 2)
+    from ..core.lie import project_so3
+    cam_R = project_so3(np.asarray(res["cam_R"]))
     cam_t = np.asarray(res["cam_t"])
     pts = np.asarray(res["pts"])
     s = store

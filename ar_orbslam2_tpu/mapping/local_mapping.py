@@ -162,10 +162,9 @@ class LocalMapper:
             feats2 = np.asarray(idx)[feats1]
             xw = np.asarray(out["xw"])[feats1]
             ids = s.add_map_points(xw, s.kf_desc[kf, feats1], first_kf=kf)
-            for m, f1, f2 in zip(ids, feats1, feats2):
-                s.add_observation(int(m), kf, int(f1))
-                s.add_observation(int(m), nb, int(f2))
-                self.recent[int(m)] = kf
+            s.add_observations(ids, kf, feats1)
+            s.add_observations(ids, nb, feats2)
+            self.recent.update((int(m), kf) for m in ids)
             s.compute_distinctive_descriptors(ids)
             s.update_normal_and_depth(ids)
             n_created += len(ids)
@@ -302,11 +301,13 @@ class LocalMapper:
         obs_valid = (obs_cam >= 0) & pt_valid[:, None]
         obs_uv = s.kf_uv[np.maximum(okf, 0), oft]
         obs_oct = s.kf_octave[np.maximum(okf, 0), oft]
+        obs_uvr = np.where(okf >= 0, s.kf_uvr[np.maximum(okf, 0), oft],
+                           -1.0).astype(np.float32)
         return dict(window=window, n_local=n_local, mp_ids=mp_ids,
                     cam_R=cam_R, cam_t=cam_t, cam_fixed=cam_fixed,
                     cam_valid=cam_valid, pts=pts, pt_valid=pt_valid,
                     obs_cam=obs_cam.astype(np.int32), obs_uv=obs_uv,
-                    obs_oct=obs_oct, obs_valid=obs_valid,
+                    obs_oct=obs_oct, obs_valid=obs_valid, obs_uvr=obs_uvr,
                     obs_kf=okf, obs_feat=np.where(okf >= 0, oft, -1))
 
     def local_bundle_adjustment(self, kf: int):
@@ -320,9 +321,11 @@ class LocalMapper:
             jnp.asarray(w["pts"]), jnp.asarray(w["pt_valid"]),
             jnp.asarray(w["obs_cam"]), jnp.asarray(w["obs_uv"]),
             jnp.asarray(w["obs_oct"]), jnp.asarray(w["obs_valid"]),
-            self.cam, n_iters_1=self.cfg.ba_iters_1,
+            self.cam, obs_uvr=jnp.asarray(w["obs_uvr"]),
+            n_iters_1=self.cfg.ba_iters_1,
             n_iters_2=self.cfg.ba_iters_2)
-        cam_R = np.asarray(res["cam_R"])
+        from ..core.lie import project_so3
+        cam_R = project_so3(np.asarray(res["cam_R"]))
         cam_t = np.asarray(res["cam_t"])
         pts = np.asarray(res["pts"])
         inl = np.asarray(res["obs_inlier"])
@@ -357,20 +360,21 @@ class LocalMapper:
             feats = np.nonzero(s.kf_mp[cand] >= 0)[0]
             if len(feats) == 0:
                 continue
+            # vectorized per-feature redundancy: a feature is redundant if
+            # >=3 OTHER keyframes observe its landmark at the same or a
+            # finer scale (octave <= lvl + 1)
+            mps = s.kf_mp[cand, feats]
+            live = s.mp_valid[mps]
+            fl, ml = feats[live], mps[live]
             n_redundant = 0
-            for f in feats:
-                mp = int(s.kf_mp[cand, f])
-                if not s.mp_valid[mp]:
-                    continue
-                lvl = int(s.kf_octave[cand, f])
-                n = s.mp_nobs[mp]
-                okf = s.mp_obs_kf[mp, :n]
-                oft = s.mp_obs_feat[mp, :n]
-                others = okf != cand
-                finer = s.kf_octave[np.maximum(okf, 0), np.maximum(oft, 0)] \
-                    <= lvl + 1
-                if int((others & finer).sum()) >= 3:
-                    n_redundant += 1
+            if len(fl):
+                lvl = s.kf_octave[cand, fl]                    # (F,)
+                okf = s.mp_obs_kf[ml]                          # (F, O)
+                oft = s.mp_obs_feat[ml]
+                others = (okf >= 0) & (okf != cand)
+                finer = s.kf_octave[np.maximum(okf, 0),
+                                    np.maximum(oft, 0)] <= lvl[:, None] + 1
+                n_redundant = int(((others & finer).sum(1) >= 3).sum())
             if n_redundant >= cfg.kf_cull_redundancy * len(feats):
                 s.erase_keyframe(cand)
                 self.drop_kf_cache(cand)

@@ -29,13 +29,18 @@ class MapConfig:
     max_kp: int = 1024            # features per keyframe (padded)
     max_obs: int = 48             # observations kept per map point
     covis_threshold: int = 15     # edge weight gate (UpdateConnections)
+    scale_factor: float = 1.2     # ORB pyramid scale (PredictScale band)
+    n_levels: int = 8
+
+
+# byte -> popcount lookup (vectorized packed-Hamming on the host)
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], np.int32)
 
 
 def _np_hamming(packed_a, packed_b):
     """(N,32) x (M,32) packed -> (N,M) int32 Hamming (host oracle path)."""
-    a = np.unpackbits(packed_a, axis=-1).astype(np.int32)
-    b = np.unpackbits(packed_b, axis=-1).astype(np.int32)
-    return (a[:, None, :] != b[None, :, :]).sum(-1)
+    x = np.bitwise_xor(packed_a[:, None, :], packed_b[None, :, :])
+    return _POPCNT[x].sum(-1)
 
 
 class MapStore:
@@ -78,6 +83,14 @@ class MapStore:
         self.mp_found = np.zeros(M, np.int32)
         self.mp_first_kf = np.full(M, -1, np.int64)
         self.mp_free = list(range(M - 1, -1, -1))     # free-list (stack)
+        # structural mutation counter: bumped whenever landmark positions,
+        # descriptors, observation topology, or keyframe poses change, so
+        # downstream device-bundle caches (tracking's local-map gather) know
+        # when to rebuild. Counter updates (mp_visible/mp_found) don't bump.
+        self.version = 0
+
+    def bump(self):
+        self.version += 1
 
     # ------------------------------------------------------------------
     # keyframe lifecycle
@@ -107,6 +120,7 @@ class MapStore:
         if depth is not None:
             self.kf_depth[k, :n] = depth[:n]
         self.kf_mp[k] = -1
+        self.bump()
         return k
 
     def n_keyframes(self):
@@ -142,6 +156,7 @@ class MapStore:
         self.mp_first_kf[ids] = first_kf
         self.mp_obs_kf[ids] = -1
         self.mp_obs_feat[ids] = -1
+        self.bump()
         return ids
 
     def add_observation(self, mp, kf, feat):
@@ -156,10 +171,32 @@ class MapStore:
         self.mp_obs_feat[mp, slot] = feat
         self.mp_nobs[mp] += 1
         self.kf_mp[kf, feat] = mp
+        self.bump()
 
     def add_observations(self, mps, kf, feats):
-        for m, f in zip(np.asarray(mps), np.asarray(feats)):
-            self.add_observation(int(m), kf, int(f))
+        """Batched add_observation for one keyframe (vectorized scatter —
+        duplicate mp ids within the batch get consecutive slots)."""
+        mps = np.asarray(mps, np.int64).ravel()
+        feats = np.asarray(feats, np.int64).ravel()
+        if len(mps) == 0:
+            return
+        keep = self.kf_mp[kf, feats] != mps       # skip already-bound pairs
+        mps, feats = mps[keep], feats[keep]
+        if len(mps) == 0:
+            return
+        order = np.argsort(mps, kind="stable")
+        ms, fs = mps[order], feats[order]
+        first = np.r_[True, ms[1:] != ms[:-1]]
+        start = np.nonzero(first)[0]
+        cum = np.arange(len(ms)) - start[np.cumsum(first) - 1]
+        slot = self.mp_nobs[ms] + cum
+        ok = slot < self.cfg.max_obs
+        ms, fs, slot = ms[ok], fs[ok], slot[ok]
+        self.mp_obs_kf[ms, slot] = kf
+        self.mp_obs_feat[ms, slot] = fs
+        np.add.at(self.mp_nobs, ms, 1)
+        self.kf_mp[kf, fs] = ms
+        self.bump()
 
     def erase_observation(self, mp, kf):
         """Remove a landmark's binding to a keyframe (EraseObservation)."""
@@ -177,6 +214,7 @@ class MapStore:
         self.mp_nobs[mp] = last
         if self.kf_mp[kf, feat] == mp:
             self.kf_mp[kf, feat] = -1
+        self.bump()
         # landmarks need >= 2 observers to exist (SetBadFlag on <=2)
         if last <= 1:
             self.erase_map_point(mp)
@@ -195,6 +233,7 @@ class MapStore:
         self.mp_nobs[mp] = 0
         self.mp_valid[mp] = False
         self.mp_free.append(int(mp))
+        self.bump()
 
     def replace_map_point(self, old, new):
         """MapPoint::Replace parity — merge old into new (fusion)."""
@@ -224,6 +263,7 @@ class MapStore:
                     self.mp_obs_kf[new, slot] = kf
                     self.mp_obs_feat[new, slot] = ft
                     self.mp_nobs[new] += 1
+        self.bump()
 
     # ------------------------------------------------------------------
     # derived landmark state
@@ -231,42 +271,91 @@ class MapStore:
     def compute_distinctive_descriptors(self, mp_ids):
         """Min-median-Hamming representative descriptor per landmark.
         Parity: MapPoint::ComputeDistinctiveDescriptors
-        (src/MapPoint.cc:≈200)."""
-        for mp in np.atleast_1d(mp_ids):
-            n = self.mp_nobs[mp]
-            if n == 0:
-                continue
-            kfs = self.mp_obs_kf[mp, :n]
-            fts = self.mp_obs_feat[mp, :n]
-            descs = self.kf_desc[kfs, fts]
-            D = _np_hamming(descs, descs)
-            med = np.median(D, axis=1)
-            self.mp_desc[mp] = descs[int(np.argmin(med))]
+        (src/MapPoint.cc:≈200). Vectorized over the whole batch: one
+        packed-XOR popcount pass instead of a Python loop per landmark;
+        chunked so the (B, O, O, 32) XOR tensor stays small."""
+        from ..native import mapgraph as _native
+
+        mp_ids = np.atleast_1d(np.asarray(mp_ids, np.int64))
+        if len(mp_ids) == 0:
+            return
+        n_all = self.mp_nobs[mp_ids]
+        mp_ids = mp_ids[n_all > 0]
+        if len(mp_ids) == 0:
+            return
+        if _native.available():
+            _native.distinctive_descriptors(self, mp_ids)
+        else:
+            self._compute_distinctive_descriptors_np(mp_ids)
+        self.bump()
+
+    def _compute_distinctive_descriptors_np(self, mp_ids):
+        """numpy oracle path (bit-identical to the native kernel)."""
+        O = self.cfg.max_obs
+        slot = np.arange(O)
+        BIG = np.int32(1 << 20)
+        for lo in range(0, len(mp_ids), 256):
+            ids = mp_ids[lo:lo + 256]
+            n = self.mp_nobs[ids]                          # (B,)
+            kfs = np.maximum(self.mp_obs_kf[ids], 0)       # (B, O)
+            fts = np.maximum(self.mp_obs_feat[ids], 0)
+            descs = self.kf_desc[kfs, fts]                 # (B, O, 32)
+            x = np.bitwise_xor(descs[:, :, None, :], descs[:, None, :, :])
+            D = _POPCNT[x].sum(-1, dtype=np.int32)         # (B, O, O)
+            ok = slot[None, :] < n[:, None]                # (B, O)
+            D = np.where(ok[:, :, None] & ok[:, None, :], D, BIG)
+            Ds = np.sort(D, axis=-1)
+            b = np.arange(len(ids))
+            # doubled median of the n valid distances per observation row
+            med2 = (Ds[b[:, None], slot[None, :], ((n - 1) // 2)[:, None]]
+                    + Ds[b[:, None], slot[None, :], (n // 2)[:, None]])
+            med2 = np.where(ok, med2, 4 * BIG)
+            best = np.argmin(med2, axis=1)
+            self.mp_desc[ids] = descs[b, best]
 
     def update_normal_and_depth(self, mp_ids):
         """Mean viewing direction + scale-band distances.
-        Parity: MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:≈330)."""
-        mp_ids = np.atleast_1d(mp_ids)
-        for mp in mp_ids:
-            n = self.mp_nobs[mp]
-            if n == 0:
-                continue
-            kfs = self.mp_obs_kf[mp, :n]
-            fts = self.mp_obs_feat[mp, :n]
-            pos = self.mp_pos[mp]
-            centers = -(np.swapaxes(self.kf_R[kfs], -1, -2)
-                        @ self.kf_t[kfs][..., None])[..., 0]
-            d = pos[None] - centers
-            norms = np.linalg.norm(d, axis=1, keepdims=True)
-            normal = (d / np.maximum(norms, 1e-9)).mean(0)
-            self.mp_normal[mp] = normal / max(np.linalg.norm(normal), 1e-9)
-            # scale band anchored at the reference (first) observation
-            ref_i = 0
-            dist = float(norms[ref_i])
-            lvl = int(self.kf_octave[kfs[ref_i], fts[ref_i]])
-            sf = 1.2
-            self.mp_dmax[mp] = dist * (sf ** lvl)
-            self.mp_dmin[mp] = self.mp_dmax[mp] / (sf ** 7)
+        Parity: MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:≈330).
+        Vectorized over the whole batch (no per-landmark Python loop)."""
+        from ..native import mapgraph as _native
+
+        mp_ids = np.atleast_1d(np.asarray(mp_ids, np.int64))
+        if len(mp_ids) == 0:
+            return
+        n = self.mp_nobs[mp_ids]
+        mp_ids = mp_ids[n > 0]
+        if len(mp_ids) == 0:
+            return
+        if _native.available():
+            _native.update_normal_and_depth(self, mp_ids)
+        else:
+            self._update_normal_and_depth_np(mp_ids)
+        self.bump()
+
+    def _update_normal_and_depth_np(self, mp_ids):
+        """numpy oracle path (matches the native kernel)."""
+        n = self.mp_nobs[mp_ids]
+        O = self.cfg.max_obs
+        kfs = np.maximum(self.mp_obs_kf[mp_ids], 0)        # (B, O)
+        ok = np.arange(O)[None, :] < n[:, None]
+        R = self.kf_R[kfs]                                 # (B, O, 3, 3)
+        t = self.kf_t[kfs]                                 # (B, O, 3)
+        centers = -np.einsum("boij,boi->boj", R, t)        # -R^T t
+        d = self.mp_pos[mp_ids][:, None, :] - centers      # (B, O, 3)
+        norms = np.linalg.norm(d, axis=-1)                 # (B, O)
+        dirs = d / np.maximum(norms, 1e-9)[..., None]
+        normal = np.where(ok[..., None], dirs, 0.0).sum(1) / n[:, None]
+        nn = np.maximum(np.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+        self.mp_normal[mp_ids] = (normal / nn).astype(np.float32)
+        # scale band anchored at the reference (first) observation
+        ref_kf = self.mp_obs_kf[mp_ids, 0]
+        ref_ft = self.mp_obs_feat[mp_ids, 0]
+        lvl = self.kf_octave[ref_kf, ref_ft]
+        sf = self.cfg.scale_factor
+        dmax = norms[:, 0] * sf ** lvl
+        self.mp_dmax[mp_ids] = dmax.astype(np.float32)
+        self.mp_dmin[mp_ids] = (dmax / sf ** (self.cfg.n_levels - 1)
+                                ).astype(np.float32)
 
     # ------------------------------------------------------------------
     # covisibility graph + spanning tree
@@ -275,6 +364,15 @@ class MapStore:
         """Recount shared landmarks between kf and all other keyframes,
         refresh the covisibility row/col and spanning-tree parent.
         Parity: KeyFrame::UpdateConnections (src/KeyFrame.cc:≈330)."""
+        from ..native import mapgraph as _native
+
+        if _native.available():
+            _native.update_connections(self, int(kf))
+            return
+        self._update_connections_np(kf)
+
+    def _update_connections_np(self, kf):
+        """numpy oracle path (matches the native kernel)."""
         mps = self.kf_mp[kf]
         mps = mps[mps >= 0]
         counts = np.zeros(self.cfg.max_keyframes, np.int32)

@@ -12,8 +12,11 @@
 // as the test oracle.
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libmapgraph.so mapgraph.cpp
+// (built + loaded by native/mapgraph.py; numpy fallbacks in mapstore/map.py
+// are the test oracle — see tests/test_native_mapgraph.py)
 #include <cstdint>
 #include <cstring>
+#include <climits>
 #include <cmath>
 #include <algorithm>
 #include <thread>
@@ -76,25 +79,27 @@ void mg_distinctive_descriptors(
     const int64_t mp = mp_ids[ii];
     const int n = mp_nobs[mp];
     if (n <= 0) return;
-    const uint8_t* descs[64];
-    int m = std::min(n, 64);
+    // buffers sized by O (the per-landmark observation capacity) so the
+    // kernel stays bit-identical to the numpy oracle for any max_obs
+    const int m = static_cast<int>(std::min<int64_t>(n, O));
+    std::vector<const uint8_t*> descs(m);
     for (int i = 0; i < m; ++i) {
       int64_t kf = mp_obs_kf[mp * O + i];
       int64_t ft = mp_obs_feat[mp * O + i];
       descs[i] = kf_desc + (kf * P + ft) * kDescBytes;
     }
-    int dist[64][64];
+    std::vector<int> dist(m * m);
     for (int i = 0; i < m; ++i) {
-      dist[i][i] = 0;
+      dist[i * m + i] = 0;
       for (int j = i + 1; j < m; ++j)
-        dist[i][j] = dist[j][i] = hamming32(descs[i], descs[j]);
+        dist[i * m + j] = dist[j * m + i] = hamming32(descs[i], descs[j]);
     }
     int best = 0;
     long best_med2 = LONG_MAX;
-    int row[64];
+    std::vector<int> row(m);
     for (int i = 0; i < m; ++i) {
-      std::memcpy(row, dist[i], m * sizeof(int));
-      std::sort(row, row + m);
+      std::memcpy(row.data(), dist.data() + i * m, m * sizeof(int));
+      std::sort(row.begin(), row.end());
       long med2 = (m % 2) ? 2L * row[m / 2]
                           : (long)row[m / 2 - 1] + row[m / 2];
       if (med2 < best_med2) { best_med2 = med2; best = i; }

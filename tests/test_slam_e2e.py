@@ -62,19 +62,28 @@ def test_initializes_and_tracks(slam_run):
 
 def test_ate_rmse_bound(slam_run):
     slam, scene, est, gt = slam_run
-    # online (at-track-time) poses: loose bound
+    # online (at-track-time) poses
     rmse_online = ate_rmse(est, gt, with_scale=True)
-    assert rmse_online < 0.10, f"online ATE RMSE {rmse_online:.4f}"
+    assert rmse_online < 0.02, f"online ATE RMSE {rmse_online:.4f}"
     # final trajectory (re-composed against BA-refined keyframes, parity
-    # with SaveTrajectoryTUM): tight bound (ref: ~0.9cm TUM fr1/xyz)
+    # with SaveTrajectoryTUM): tight bound (ref: ~0.9cm TUM fr1/xyz on a
+    # ~1m-scale scene). Achieved 0.0035 on this 1.0-rad orbit after the
+    # SO(3)-projection + UpdateLastFrame fixes; gate at 0.02 for margin.
     ts, R_wc, t_wc = slam.frame_trajectory()
     idx = np.round(np.asarray(ts) * 30.0).astype(int)
     gt_t = np.stack([-(scene.R_cw[i].T @ scene.t_cw[i]) for i in idx])
     rmse = ate_rmse(t_wc, gt_t, with_scale=True)
-    # current regression level on this 1.0-rad orbit; the short-arc TPU
-    # verify run achieves 0.0025 — tighten as mono scale-drift handling
-    # improves (target: 0.02)
-    assert rmse < 0.12, f"final ATE RMSE {rmse:.4f} too high"
+    assert rmse < 0.02, f"final ATE RMSE {rmse:.4f} too high"
+
+
+def test_motion_model_stays_healthy(slam_run):
+    """The velocity model must keep working over the whole sequence (a
+    round-1 regression: non-orthonormal rotation accumulation collapsed
+    SearchByProjection after ~15 frames, silently degrading to per-frame
+    reference-KF tracking)."""
+    slam, scene, est, gt = slam_run
+    mi = [r.get("motion_inliers", 0) or 0 for r in slam.tracking.metrics[5:]]
+    assert np.median(mi) > 50, f"motion-model inliers collapsed: {mi}"
 
 
 def test_covisibility_and_observations_consistent(slam_run):
