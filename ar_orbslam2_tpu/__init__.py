@@ -39,3 +39,9 @@ import jax as _jax
 # unaffected), and any profiled f32 kernel that tolerates bf16 opts back in
 # locally with precision=DEFAULT.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# NOTE on compilation caching: bench.py and the CLI apps enable the
+# persistent jax compilation cache (their runs are TPU-bound and pay
+# minutes of cold compile). It is NOT enabled at package level because
+# XLA:CPU AOT cache entries are machine-feature-sensitive and poison
+# forced-CPU test runs on heterogeneous hosts.

@@ -276,8 +276,15 @@ def project_so3(R):
     """
     import numpy as np
     R = np.asarray(R, np.float64)
-    U, _, Vt = np.linalg.svd(R)
+    # A single NaN/Inf slot (diverged BA camera) must not raise LinAlgError
+    # for the whole batch: substitute identity for the SVD, then restore
+    # NaN so downstream isfinite write-back guards still skip those slots.
+    finite = np.isfinite(R).all(axis=(-1, -2))
+    R_safe = np.where(finite[..., None, None], np.nan_to_num(R), np.eye(3))
+    U, _, Vt = np.linalg.svd(R_safe)
     det = np.linalg.det(U @ Vt)
     D = np.ones(R.shape[:-2] + (3,))
     D[..., 2] = np.sign(det)
-    return ((U * D[..., None, :]) @ Vt).astype(np.float32)
+    out = (U * D[..., None, :]) @ Vt
+    out = np.where(finite[..., None, None], out, np.nan)
+    return out.astype(np.float32)

@@ -218,18 +218,61 @@ def render_plane_sequence(cam, n_frames=40, seed=0, tex_size=2048,
                         0.3 * motion * a])
         target = np.array([0.2 * np.sin(np.pi * a), 0.0, distance])
         R, t = _look_at(eye, target)
-        # world plane point (X, Y, distance): u ~ K (R @ [X,Y,dist] + t)
-        #   = K ([r1 r2 (dist*r3 + t)]) @ [X Y 1]^T
-        M = np.stack([R[:, 0], R[:, 1], distance * R[:, 2] + t], axis=1)
-        H = K @ M @ A
-        img = cv2.warpPerspective(
-            tex, H.astype(np.float64), (cam.width, cam.height),
-            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
-            borderValue=0)
-        img = cv2.GaussianBlur(img, (3, 3), 0.6)
-        noise = rng.normal(0, 1.5, img.shape)
-        img = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        img = _render_plane_view(tex, A, K, cam, R, t, distance, rng)
         images.append(img)
         Rs.append(R)
         ts.append(t)
     return np.stack(images), np.stack(Rs), np.stack(ts)
+
+
+def _render_plane_view(tex, A, K, cam, R, t, distance, rng):
+    """One view of the textured plane (exact homography warp)."""
+    import cv2
+    # world plane point (X, Y, distance): u ~ K (R @ [X,Y,dist] + t)
+    #   = K ([r1 r2 (dist*r3 + t)]) @ [X Y 1]^T
+    M = np.stack([R[:, 0], R[:, 1], distance * R[:, 2] + t], axis=1)
+    H = K @ M @ A
+    img = cv2.warpPerspective(
+        tex, H.astype(np.float64), (cam.width, cam.height),
+        flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+        borderValue=0)
+    img = cv2.GaussianBlur(img, (3, 3), 0.6)
+    noise = rng.normal(0, 1.5, img.shape)
+    return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+
+
+def render_stereo_plane_sequence(cam, n_frames=20, seed=0, tex_size=2048,
+                                 plane_extent=6.0, distance=3.0,
+                                 motion=0.4):
+    """Rectified stereo pairs of the textured plane.
+
+    The right camera is displaced by baseline = cam.bf / cam.fx along the
+    camera x axis (x_r = R x + t - [b, 0, 0]) — ideal rectified geometry,
+    matching the Frame::ComputeStereoMatches epipolar assumption.
+    Returns (left [N,H,W] u8, right [N,H,W] u8, R_cw, t_cw).
+    """
+    rng = np.random.default_rng(seed)
+    tex = _make_texture(tex_size, seed)
+    s = plane_extent / tex_size
+    A = np.array([[s, 0, -plane_extent / 2],
+                  [0, s, -plane_extent / 2],
+                  [0, 0, 1.0]])
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
+    baseline = cam.bf / cam.fx if cam.bf > 0 else 0.1
+    lefts, rights, Rs, ts = [], [], [], []
+    for i in range(n_frames):
+        a = i / max(n_frames - 1, 1)
+        eye = np.array([motion * np.sin(np.pi * a),
+                        0.3 * motion * np.sin(2 * np.pi * a),
+                        0.3 * motion * a])
+        target = np.array([0.2 * np.sin(np.pi * a), 0.0, distance])
+        R, t = _look_at(eye, target)
+        t_r = t - np.array([baseline, 0.0, 0.0], t.dtype)
+        lefts.append(_render_plane_view(tex, A, K, cam, R, t,
+                                        distance, rng))
+        rights.append(_render_plane_view(tex, A, K, cam, R, t_r,
+                                         distance, rng))
+        Rs.append(R)
+        ts.append(t)
+    return (np.stack(lefts), np.stack(rights),
+            np.stack(Rs), np.stack(ts))

@@ -59,16 +59,29 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
     C = cam_R.shape[0]
     P, OPP = obs_cam.shape
     oc = jnp.maximum(obs_cam, 0)
+    # one-hot camera broadcast table, built ONCE and reused across every
+    # LM iteration (TPU gathers of ~200k small blocks serialize; this
+    # keeps the loop on the MXU). Falls back to gathers when the table
+    # would exceed the memory budget (huge global BAs).
+    use_oh = P * OPP * C * 4 <= 512 * 1024 * 1024
+    oh = ba_core.obs_one_hot(oc, C) if use_oh else None
     inv_sigma2 = scale_factor ** (-2.0 * obs_octave.astype(jnp.float32))
     if obs_uvr is None:
         obs_uvr = jnp.full((P, OPP), -1.0, jnp.float32)
     stereo = obs_uvr > 0
     chi2_th = jnp.where(stereo, CHI2_3DOF, CHI2_2DOF)
+    # static per-call camera masks (don't change inside the LM loop)
+    cam_valid_o = jnp.einsum("poc,c->po", oh,
+                             cam_valid.astype(jnp.float32)) \
+        if use_oh else cam_valid[oc].astype(jnp.float32)
+    cam_fixed_o = jnp.einsum("poc,c->po", oh,
+                             cam_fixed.astype(jnp.float32)) \
+        if use_oh else cam_fixed[oc].astype(jnp.float32)
 
     def residuals(R_all, t_all, X):
         """r (P,OPP,3), Jc (P,OPP,3,6), Jp (P,OPP,3,3), behind (P,OPP)."""
         return ba_core.ba_residuals(cam, R_all, t_all, X, oc,
-                                    obs_uv, obs_uvr, stereo)
+                                    obs_uv, obs_uvr, stereo, oh=oh)
 
     def edge_chi2(r):
         return jnp.sum(r * r, -1) * inv_sigma2
@@ -78,15 +91,15 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
         c2 = edge_chi2(r)
         w_h = jnp.where(use_huber, huber_weight(c2, chi2_th), 1.0)
         w = inv_sigma2 * w_h * inlier * obs_valid * (~behind) \
-            * pt_valid[:, None] * cam_valid[oc]
+            * pt_valid[:, None] * cam_valid_o
         # fixed cameras: their residuals constrain POINTS but produce no
         # camera gradient -> zero their Jc
-        Jc = jnp.where(cam_fixed[oc][..., None, None], 0.0, Jc)
+        Jc = jnp.where(cam_fixed_o[..., None, None] > 0, 0.0, Jc)
 
-        blocks = ba_core.schur_blocks(r, Jc, Jpt, w, oc, C, lam)
+        blocks = ba_core.schur_blocks(r, Jc, Jpt, w, oc, C, lam, oh=oh)
         dx_c = ba_core.solve_camera_system(
             blocks["S"], blocks["b_s"], cam_valid & (~cam_fixed), lam)
-        dx_p = ba_core.backsub_points(blocks, dx_c, oc)
+        dx_p = ba_core.backsub_points(blocks, dx_c, oc, oh=oh)
 
         dR, dt = lie.se3_exp(dx_c)
         R_new, t_new = lie.se3_mul(dR, dt, R_all, t_all)
@@ -95,7 +108,7 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
         X_new = jnp.where(pt_valid[:, None], X + dx_p, X)
 
         # accept / reject on robustified cost
-        mask = inlier * obs_valid * pt_valid[:, None] * cam_valid[oc]
+        mask = inlier * obs_valid * pt_valid[:, None] * cam_valid_o
         r2, _, _, behind2 = residuals(R_new, t_new, X_new)
         c2n = edge_chi2(r2)
         w_hn = jnp.where(use_huber, huber_weight(c2n, chi2_th), 1.0)

@@ -4,10 +4,14 @@ TPU-native redesign of Optimizer::OptimizeEssentialGraph
 (src/Optimizer.cc:≈700, SURVEY.md §2.1): g2o's sparse LM over VertexSim3 /
 EdgeSim3 becomes a fixed-shape batched GN — per-edge residuals
 r_e = log(S_ji_meas · S_i · S_j^{-1}) with autodiff Jacobians (vmapped
-7-dof tangent blocks), scatter-add assembly into the (7K, 7K) normal
-system, damped dense Cholesky solve. The essential graph is small (one
-vertex per keyframe; edges = spanning tree + loop edges + strong
-covisibility), so the dense system is MXU-friendly rather than wasteful.
+7-dof tangent blocks). Two linear-solver paths (VERDICT r2 weak #5):
+
+  * K <= CG_THRESHOLD vertices: dense (7K, 7K) assembly + direct solve —
+    microscopic on the MXU at test sizes;
+  * larger graphs: matrix-free block-Jacobi-preconditioned conjugate
+    gradient. Hv products are per-edge 7x7 block matmuls gathered/
+    aggregated with one-hot matmuls (no scatter — TPU scatters
+    serialize), so memory is O(E·49) instead of O(K²·49).
 """
 from __future__ import annotations
 
@@ -17,6 +21,64 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+
+
+# above this vertex count the dense (7K,7K) system is replaced by
+# block-Jacobi-preconditioned CG (memory O(E) instead of O(K^2))
+CG_THRESHOLD = 128
+CG_ITERS = 80
+
+
+def _solve_pcg(Hii, Hjj, Hij, oh_i, oh_j, ei, ej, b, free, damping):
+    """Matrix-free PCG on the edge-block normal system. Solves H x = b
+    over free vertices (fixed rows behave as identity). Returns x (K,7)
+    such that the GN update is -x."""
+    K = b.shape[0]
+    free_f = free.astype(jnp.float32)[:, None]
+
+    def Hv(v):
+        vi = v[ei]                                         # (E,7) gather
+        vj = v[ej]
+        out_i = (jnp.einsum("eij,ej->ei", Hii, vi)
+                 + jnp.einsum("eij,ej->ei", Hij, vj))
+        out_j = (jnp.einsum("eij,ej->ei", Hjj, vj)
+                 + jnp.einsum("eji,ej->ei", Hij, vi))
+        out = (jnp.einsum("ek,ei->ki", oh_i, out_i)
+               + jnp.einsum("ek,ei->ki", oh_j, out_j))
+        # damping everywhere; fixed rows act as identity
+        return jnp.where(free[:, None], out + damping * v, v)
+
+    # block-Jacobi preconditioner from per-vertex diagonal blocks
+    D = (jnp.einsum("ek,eij->kij", oh_i, Hii)
+         + jnp.einsum("ek,eij->kij", oh_j, Hjj))
+    D = D + (damping + 1e-8) * jnp.eye(7)
+    D = jnp.where(free[:, None, None], D, jnp.eye(7))
+    D_inv = jnp.linalg.inv(D)
+
+    def precond(v):
+        return jnp.einsum("kij,kj->ki", D_inv, v) * free_f
+
+    b = b * free_f
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+
+    def body(carry, _):
+        x, r, z, p = carry
+        Hp = Hv(p)
+        rz = jnp.sum(r * z)
+        alpha = rz / jnp.maximum(jnp.sum(p * Hp), 1e-12)
+        x = x + alpha * p
+        r2 = r - alpha * Hp
+        z2 = precond(r2)
+        beta = jnp.sum(r2 * z2) / jnp.maximum(rz, 1e-12)
+        p2 = z2 + beta * p
+        return (x, r2, z2, p2), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, p0), None,
+                                   length=CG_ITERS)
+    return x    # x ≈ H^-1 b; the caller applies dv = -x
 
 
 def _edge_residual(Ri, ti, si, Rj, tj, sj, Rm, tm, sm, vi, vj):
@@ -90,23 +152,29 @@ def optimize_essential_graph(R, t, s, vert_valid, fixed,
         bi = jnp.einsum("eri,er->ei", Ji, rw)
         bj = jnp.einsum("eri,er->ei", Jj, rw)
 
-        Hb = jnp.zeros((K, K, 7, 7), jnp.float32)
-        Hb = Hb.at[ei, ei].add(Hii)
-        Hb = Hb.at[ej, ej].add(Hjj)
-        Hb = Hb.at[ei, ej].add(Hij)
-        Hb = Hb.at[ej, ei].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((K, 7), jnp.float32)
-        b = b.at[ei].add(bi)
-        b = b.at[ej].add(bj)
+        oh_i = jax.nn.one_hot(ei, K, dtype=jnp.float32)    # (E,K)
+        oh_j = jax.nn.one_hot(ej, K, dtype=jnp.float32)
+        b = (jnp.einsum("ek,ei->ki", oh_i, bi)
+             + jnp.einsum("ek,ei->ki", oh_j, bj))
+        b = jnp.where(free[:, None], b, 0.0)
 
-        Hd = Hb.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
-        bd = b.reshape(7 * K)
-        # pin fixed/invalid vertices with identity rows
-        pin = jnp.repeat(~free, 7)
-        diag = jnp.where(pin, 1.0, 0.0)
-        Hd = Hd + jnp.diag(diag) + damping * jnp.eye(7 * K)
-        bd = jnp.where(pin, 0.0, bd)
-        dv = -jnp.linalg.solve(Hd, bd).reshape(K, 7)
+        if K <= CG_THRESHOLD:
+            Hb = jnp.einsum("ek,el,eij->klij", oh_i, oh_i, Hii)
+            Hb += jnp.einsum("ek,el,eij->klij", oh_j, oh_j, Hjj)
+            Hb += jnp.einsum("ek,el,eij->klij", oh_i, oh_j, Hij)
+            Hb += jnp.einsum("ek,el,eji->klij", oh_j, oh_i, Hij)
+            Hd = Hb.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+            bd = b.reshape(7 * K)
+            # pin fixed/invalid vertices with identity rows
+            pin = jnp.repeat(~free, 7)
+            diag = jnp.where(pin, 1.0, 0.0)
+            Hd = Hd * (1 - diag)[:, None] * (1 - diag)[None, :]
+            Hd = Hd + jnp.diag(diag) + damping * jnp.eye(7 * K)
+            bd = jnp.where(pin, 0.0, bd)
+            dv = -jnp.linalg.solve(Hd, bd).reshape(K, 7)
+        else:
+            dv = -_solve_pcg(Hii, Hjj, Hij, oh_i, oh_j, ei, ej, b, free,
+                             damping)
         if fix_scale:
             dv = dv.at[:, 6].set(0.0)
         dv = jnp.where(free[:, None], dv, 0.0)

@@ -42,8 +42,58 @@ def match_stereo(uv_l, signs_l, oct_l, valid_l,
     return uvr, idx
 
 
-def stereo_frame_features(slam, left_u8, right_u8, max_disparity=None):
-    """Extract ORB on both images and stereo-match.
+@partial(jax.jit, static_argnames=("window", "search"))
+def refine_stereo_subpixel(img_l, img_r, uv_l, uvr, valid,
+                           window=5, search=5):
+    """SAD subpixel refinement of matched right-u coordinates.
+
+    Parity: the correlation pass of Frame::ComputeStereoMatches
+    (src/Frame.cc:≈420) — an 11x11 center-normalized window around the
+    left keypoint slides ±5 px over the right image at the matched
+    location; the best SAD column is refined with parabola interpolation
+    (deltaR = (d- − d+) / (2(d- + d+ − 2 d0))). Deviation: runs on the
+    level-0 images for all octaves (the reference uses the keypoint's
+    pyramid level); matches whose SAD minimum sits on the search border
+    or whose parabola step exceeds 1 px are rejected like the reference.
+
+    Returns refined uvr (N,) with -1 where rejected/invalid.
+    """
+    W = 2 * window + 1
+    S = 2 * search + 1
+    h, w = img_l.shape
+    il = img_l.astype(jnp.float32)
+    ir = img_r.astype(jnp.float32)
+
+    def one(u, v, ur, ok):
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), window, w - window - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), window, h - window - 1)
+        uri = jnp.clip(jnp.round(ur).astype(jnp.int32),
+                       window + search, w - window - search - 1)
+        patch = jax.lax.dynamic_slice(il, (vi - window, ui - window),
+                                      (W, W))
+        patch = patch - patch[window, window]
+        strip = jax.lax.dynamic_slice(
+            ir, (vi - window, uri - window - search), (W, W + 2 * search))
+        sads = jnp.stack([
+            jnp.sum(jnp.abs(patch - (strip[:, s:s + W]
+                                     - strip[window, s + window])))
+            for s in range(S)])
+        best = jnp.argmin(sads)
+        interior = (best > 0) & (best < S - 1)
+        bc = jnp.clip(best, 1, S - 2)
+        d_m, d_0, d_p = sads[bc - 1], sads[bc], sads[bc + 1]
+        denom = d_m + d_p - 2.0 * d_0
+        delta = (d_m - d_p) / jnp.maximum(2.0 * denom, 1e-6)
+        good = ok & interior & (jnp.abs(delta) <= 1.0) & (denom > 0)
+        ur_new = (uri + (bc - search)).astype(jnp.float32) + delta
+        return jnp.where(good, ur_new, jnp.where(ok, ur, -1.0))
+
+    return jax.vmap(one)(uv_l[:, 0], uv_l[:, 1], uvr, valid & (uvr > 0))
+
+
+def stereo_frame_features(slam, left_u8, right_u8, max_disparity=None,
+                          subpixel=True):
+    """Extract ORB on both images and stereo-match (+ SAD subpixel).
 
     Returns (features dict for the LEFT image, uvr (P,), depth (P,)).
     """
@@ -52,13 +102,17 @@ def stereo_frame_features(slam, left_u8, right_u8, max_disparity=None):
     cam = slam.cam
     if max_disparity is None:
         max_disparity = max(cam.bf / max(cam.fx * 0.02, 1e-6), 64.0)
-    uvr, _ = match_stereo(
+    uvr_dev, _ = match_stereo(
         jnp.asarray(fl["uv"]), H.to_signs(fl["desc_bits"]),
         jnp.asarray(fl["octave"]), jnp.asarray(fl["valid"]),
         jnp.asarray(fr["uv"]), H.to_signs(fr["desc_bits"]),
         jnp.asarray(fr["octave"]), jnp.asarray(fr["valid"]),
         float(max_disparity))
-    uvr = np.asarray(uvr)
+    if subpixel:
+        uvr_dev = refine_stereo_subpixel(
+            jnp.asarray(left_u8), jnp.asarray(right_u8),
+            jnp.asarray(fl["uv"]), uvr_dev, jnp.asarray(fl["valid"]))
+    uvr = np.asarray(uvr_dev)
     disp = fl["uv"][:, 0] - uvr
     good = (uvr > 0) & (disp > 0.1)
     depth = np.where(good, cam.bf / np.maximum(disp, 0.1), -1.0)

@@ -32,11 +32,26 @@ from ..ops import hamming as H
 
 
 class VocabTensor:
-    """Random binary vocabulary evaluated as one Hamming matmul."""
+    """Binary vocabulary evaluated as one Hamming matmul.
 
-    def __init__(self, n_words: int = 4096, seed: int = 42):
-        rng = np.random.default_rng(seed)
-        bits = (rng.random((n_words, H.DESC_BITS)) < 0.5).astype(np.uint8)
+    The startup codebook is random (quantizes descriptor space uniformly
+    — no 145 MB asset, no startup cost); a k-medians codebook trained on
+    scene descriptors (loop/vocab_train.py) can be passed via `bits`.
+    The loop-recall study (LOOP_RECALL.md, loop/recall_study.py) shows
+    the two tie under mild/moderate revisit noise but the trained one
+    dominates under severe viewpoint change (recall@1 0.96 vs 0.18), so
+    KeyFrameDatabase.maybe_retrain self-trains from the map's own
+    descriptors once enough keyframes exist — the online analog of
+    DBoW2's offline vocabulary build."""
+
+    def __init__(self, n_words: int = 4096, seed: int = 42, bits=None):
+        if bits is None:
+            rng = np.random.default_rng(seed)
+            bits = (rng.random((n_words, H.DESC_BITS)) < 0.5
+                    ).astype(np.uint8)
+        else:
+            bits = np.asarray(bits, np.uint8)
+            n_words = bits.shape[0]
         self.n_words = n_words
         self.signs = H.to_signs(bits)
 
@@ -77,10 +92,34 @@ class KeyFrameDatabase:
         K = store.cfg.max_keyframes
         self.bow = np.zeros((K, self.vocab.n_words), np.float32)
         self.has_bow = np.zeros(K, bool)
+        self.trained = vocab is not None   # custom vocab: don't retrain
+
+    def maybe_retrain(self, min_kfs: int = 24, max_train: int = 30_000,
+                      n_iters: int = 4):
+        """One-time k-medians codebook training from the map's own
+        descriptors (LOOP_RECALL.md: the trained codebook dominates under
+        severe viewpoint change). Re-encodes all stored bow vectors."""
+        s = self.store
+        if self.trained or s.n_keyframes() < min_kfs:
+            return False
+        kfs = np.nonzero(self.has_bow & s.kf_valid)[0]
+        descs = s.kf_desc[kfs][s.kf_kp_valid[kfs]]
+        if len(descs) > max_train:
+            rng = np.random.default_rng(0)
+            descs = descs[rng.choice(len(descs), max_train, replace=False)]
+        from .vocab_train import train_codebook
+        bits = train_codebook(H.unpack_bits(descs).reshape(-1, H.DESC_BITS),
+                              n_words=self.vocab.n_words, n_iters=n_iters)
+        self.vocab = VocabTensor(bits=bits)
+        self.trained = True
+        for kf in kfs:
+            self.add(int(kf))
+        return True
 
     def compute_bow(self, desc_bits, valid):
         signs = H.to_signs(desc_bits)
         words, bow = self.vocab.transform(signs, jnp.asarray(valid))
+        words, bow = jax.device_get((words, bow))   # ONE transport sync
         return np.asarray(words), np.asarray(bow)
 
     def add(self, kf: int, bow=None):

@@ -62,17 +62,49 @@ def gather_global(store):
                 obs_uvr=obs_uvr, obs_kf=okf)
 
 
-def global_bundle_adjustment(store, cam, n_iters=20):
+def dispatch_global_ba(g, cam, n_iters=20, distributed=None):
+    """Dispatch the full-map BA (async; returns device arrays).
+
+    distributed=None auto-routes: with >1 visible device the landmark axis
+    is sharded over the mesh and the camera system psum-reduced
+    (parallel/dist_ba.py — the SURVEY §5.7 landmark-sharded Schur design);
+    single-device falls back to estimation/local_ba.bundle_adjust.
+    """
+    import jax
+    n_dev = len(jax.devices())
+    P = g["pts"].shape[0]
+    use_dist = distributed if distributed is not None \
+        else (n_dev > 1 and P % n_dev == 0)
+    if use_dist:
+        from ..parallel import dist_ba
+        mesh = dist_ba.make_mesh()
+        pts, pt_valid, obs_cam, obs_uv, obs_oct, obs_valid, obs_uvr = \
+            dist_ba.shard_point_arrays(
+                mesh, g["pts"], g["pt_valid"], g["obs_cam"], g["obs_uv"],
+                g["obs_oct"], g["obs_valid"], g["obs_uvr"])
+        cam_R, cam_t, cam_fixed, cam_valid = dist_ba.replicate(
+            mesh, g["cam_R"], g["cam_t"], g["cam_fixed"], g["cam_valid"])
+        return dist_ba.dist_bundle_adjust(
+            mesh, cam_R, cam_t, cam_fixed, cam_valid, pts, pt_valid,
+            obs_cam, obs_uv, obs_oct, obs_valid, cam, obs_uvr=obs_uvr,
+            n_iters=n_iters)
+    d = jax.device_put(dict(
+        cam_R=g["cam_R"], cam_t=g["cam_t"], cam_fixed=g["cam_fixed"],
+        cam_valid=g["cam_valid"], pts=g["pts"], pt_valid=g["pt_valid"],
+        obs_cam=g["obs_cam"], obs_uv=g["obs_uv"], obs_oct=g["obs_oct"],
+        obs_valid=g["obs_valid"], obs_uvr=g["obs_uvr"]))
+    return bundle_adjust(
+        d["cam_R"], d["cam_t"], d["cam_fixed"], d["cam_valid"],
+        d["pts"], d["pt_valid"], d["obs_cam"], d["obs_uv"],
+        d["obs_oct"], d["obs_valid"], cam, obs_uvr=d["obs_uvr"],
+        n_iters_1=n_iters // 2, n_iters_2=n_iters - n_iters // 2)
+
+
+def global_bundle_adjustment(store, cam, n_iters=20, distributed=None):
     """Run full BA and write results back into the store."""
     g = gather_global(store)
-    res = bundle_adjust(
-        jnp.asarray(g["cam_R"]), jnp.asarray(g["cam_t"]),
-        jnp.asarray(g["cam_fixed"]), jnp.asarray(g["cam_valid"]),
-        jnp.asarray(g["pts"]), jnp.asarray(g["pt_valid"]),
-        jnp.asarray(g["obs_cam"]), jnp.asarray(g["obs_uv"]),
-        jnp.asarray(g["obs_oct"]), jnp.asarray(g["obs_valid"]),
-        cam, obs_uvr=jnp.asarray(g["obs_uvr"]),
-        n_iters_1=n_iters // 2, n_iters_2=n_iters - n_iters // 2)
+    res = dispatch_global_ba(g, cam, n_iters=n_iters,
+                             distributed=distributed)
     from ..core.lie import project_so3
     cam_R = project_so3(np.asarray(res["cam_R"]))
     cam_t = np.asarray(res["cam_t"])
@@ -86,4 +118,5 @@ def global_bundle_adjustment(store, cam, n_iters=20):
     mp_ids = g["mp_arr"][:nm]
     ok_p = np.isfinite(pts[:nm]).all(-1)
     s.mp_pos[mp_ids[ok_p]] = pts[:nm][ok_p]
+    s.bump()   # poses/landmarks moved -> invalidate device bundle caches
     return float(np.asarray(res["cost"]))

@@ -82,6 +82,10 @@ class MapStore:
         self.mp_visible = np.zeros(M, np.int32)       # GetFoundRatio counters
         self.mp_found = np.zeros(M, np.int32)
         self.mp_first_kf = np.full(M, -1, np.int64)
+        # forwarding pointer set by replace_map_point (parity: the
+        # mpReplaced chain behind MapPoint::GetReplaced, consumed by
+        # Tracking::CheckReplacedInLastFrame)
+        self.mp_replaced = np.full(M, -1, np.int64)
         self.mp_free = list(range(M - 1, -1, -1))     # free-list (stack)
         # structural mutation counter: bumped whenever landmark positions,
         # descriptors, observation topology, or keyframe poses change, so
@@ -156,6 +160,7 @@ class MapStore:
         self.mp_first_kf[ids] = first_kf
         self.mp_obs_kf[ids] = -1
         self.mp_obs_feat[ids] = -1
+        self.mp_replaced[ids] = -1        # recycled slot: clear forwarding
         self.bump()
         return ids
 
@@ -241,6 +246,7 @@ class MapStore:
             return
         obs_kf = self.mp_obs_kf[old, :self.mp_nobs[old]].copy()
         obs_ft = self.mp_obs_feat[old, :self.mp_nobs[old]].copy()
+        self.mp_replaced[old] = new
         self.mp_found[new] += self.mp_found[old]
         self.mp_visible[new] += self.mp_visible[old]
         # free old first so add_observation sees a clean slate
@@ -444,6 +450,22 @@ class MapStore:
             dmax=self.mp_dmax[sel],
             valid=(ids >= 0),
         )
+
+    def resolve_replacements(self, mp):
+        """Follow replace_map_point forwarding chains (parity:
+        MapPoint::GetReplaced as used by CheckReplacedInLastFrame).
+        mp: (N,) int64 landmark ids (-1 allowed). Returns resolved ids
+        with dead, unforwarded landmarks mapped to -1."""
+        out = np.asarray(mp, np.int64).copy()
+        for _ in range(8):                     # chains are short
+            sel = out >= 0
+            nxt = np.where(sel, self.mp_replaced[np.maximum(out, 0)], -1)
+            step = nxt >= 0
+            if not step.any():
+                break
+            out = np.where(step, nxt, out)
+        live = (out >= 0) & self.mp_valid[np.maximum(out, 0)]
+        return np.where(live, out, -1)
 
     def median_scene_depth(self, kf):
         """Median depth of landmarks seen by kf (mono init scale norm).

@@ -84,10 +84,19 @@ def dist_bundle_adjust(mesh, cam_R, cam_t, cam_fixed, cam_valid,
         stereo = obs_uvr > 0
         inv_sigma2 = scale_factor ** (-2.0 * obs_octave.astype(jnp.float32))
         chi2_th = jnp.where(stereo, CHI2_3DOF, CHI2_2DOF)
+        P_loc, OPP = oc.shape
+        use_oh = P_loc * OPP * C * 4 <= 512 * 1024 * 1024
+        oh = ba_core.obs_one_hot(oc, C) if use_oh else None
+        cam_valid_o = jnp.einsum("poc,c->po", oh,
+                                 cam_valid.astype(jnp.float32)) \
+            if use_oh else cam_valid[oc].astype(jnp.float32)
+        cam_fixed_o = jnp.einsum("poc,c->po", oh,
+                                 cam_fixed.astype(jnp.float32)) \
+            if use_oh else cam_fixed[oc].astype(jnp.float32)
 
         def residuals(R_all, t_all, X):
             return ba_core.ba_residuals(cam, R_all, t_all, X, oc,
-                                        obs_uv, obs_uvr, stereo)
+                                        obs_uv, obs_uvr, stereo, oh=oh)
 
         def edge_chi2(r):
             return jnp.sum(r * r, -1) * inv_sigma2
@@ -98,16 +107,17 @@ def dist_bundle_adjust(mesh, cam_R, cam_t, cam_fixed, cam_valid,
             c2 = edge_chi2(r)
             w_h = huber_weight(c2, chi2_th)
             w = inv_sigma2 * w_h * inlier * obs_valid * (~behind) \
-                * pt_valid[:, None] * cam_valid[oc]
-            Jc = jnp.where(cam_fixed[oc][..., None, None], 0.0, Jc)
+                * pt_valid[:, None] * cam_valid_o
+            Jc = jnp.where(cam_fixed_o[..., None, None] > 0, 0.0, Jc)
 
-            blocks = ba_core.schur_blocks(r, Jc, Jpt, w, oc, C, lam)
+            blocks = ba_core.schur_blocks(r, Jc, Jpt, w, oc, C, lam,
+                                          oh=oh)
             # the ONLY cross-device reduction: camera system contributions
             S = jax.lax.psum(blocks["S"], axis)
             b_s = jax.lax.psum(blocks["b_s"], axis)
             dx_c = ba_core.solve_camera_system(
                 S, b_s, cam_valid & (~cam_fixed), lam)
-            dx_p = ba_core.backsub_points(blocks, dx_c, oc)
+            dx_p = ba_core.backsub_points(blocks, dx_c, oc, oh=oh)
 
             dR, dt = lie.se3_exp(dx_c)
             R_new, t_new = lie.se3_mul(dR, dt, R_all, t_all)
@@ -115,7 +125,7 @@ def dist_bundle_adjust(mesh, cam_R, cam_t, cam_fixed, cam_valid,
             t_new = jnp.where(cam_fixed[:, None], t_all, t_new)
             X_new = jnp.where(pt_valid[:, None], X + dx_p, X)
 
-            mask = inlier * obs_valid * pt_valid[:, None] * cam_valid[oc]
+            mask = inlier * obs_valid * pt_valid[:, None] * cam_valid_o
             r2, _, _, behind2 = residuals(R_new, t_new, X_new)
             c2n = edge_chi2(r2)
             w_hn = huber_weight(c2n, chi2_th)

@@ -34,17 +34,25 @@ class SlamConfig:
     enable_loop_closing: bool = True
     enable_relocalization: bool = True
     depth_threshold: float = 40.0      # ThDepth * baseline gate (stereo)
+    # device-resident fused tracking for the image->mono path (one
+    # dispatch chain + one readback per frame; system/fused.py)
+    use_fused_tracking: bool = True
 
 
 class SlamSystem:
     """End-to-end SLAM pipeline with the reference System's API surface."""
 
     def __init__(self, cam: Camera, cfg: SlamConfig = SlamConfig()):
+        import copy
+        from dataclasses import replace
         self.cam = cam
-        self.cfg = cfg
+        # private copy: never mutate the caller's (possibly shared/default)
+        # config instance, and always derive camera-dependent fields from
+        # THIS camera (a reused config must not keep another camera's
+        # depth threshold)
+        cfg = copy.copy(cfg)
         # keep the map's scale-band parameters in sync with the tracker's
         # pyramid config (one source of truth: TrackingConfig)
-        from dataclasses import replace
         if (cfg.map.scale_factor != cfg.tracking.scale_factor
                 or cfg.map.n_levels != cfg.tracking.n_levels):
             cfg.map = replace(cfg.map,
@@ -52,11 +60,12 @@ class SlamSystem:
                               n_levels=cfg.tracking.n_levels)
         # stereo/RGB-D close-point threshold: ThDepth * baseline meters
         # (parity: mThDepth = mbf * ThDepth / fx, Tracking ctor)
-        if cfg.sensor != MONOCULAR and cfg.tracking.depth_threshold_m == 0:
+        if cfg.sensor != MONOCULAR:
             th_m = cfg.depth_threshold * (cam.bf / cam.fx) \
                 if cam.bf > 0 else cfg.depth_threshold
             cfg.tracking = replace(cfg.tracking,
                                    depth_threshold_m=float(th_m))
+        self.cfg = cfg
         self.store = MapStore(cfg.map)
         self.mapper = LocalMapper(self.store, cam, cfg.mapper)
         self.tracking = Tracking(self.store, self.mapper, cam, cfg.tracking)
@@ -77,6 +86,12 @@ class SlamSystem:
             from ..estimation.relocalization import Relocalizer
             self.tracking.relocalizer = Relocalizer(
                 self.store, self.mapper, cam, cfg.tracking, kfdb=self.kfdb)
+        if cfg.use_fused_tracking and cfg.sensor == MONOCULAR:
+            from ..frontend.orb import OrbConfig
+            from .fused import FusedFrontend
+            self._orb_cfg = OrbConfig(n_features=cfg.tracking.max_kp)
+            self.tracking.fused = FusedFrontend(
+                self.store, cam, cfg.tracking, self._orb_cfg)
         self._next_frame_id = 0
 
     # ------------------------------------------------------------------
@@ -138,6 +153,27 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def track_monocular(self, image_u8=None, timestamp=0.0, features=None):
         """Parity: System::TrackMonocular — returns Tcw (4x4) or None."""
+        t = self.tracking
+        fe = t.fused
+        if image_u8 is not None and features is None and fe is not None \
+                and t.state == "OK":
+            if not fe.ready():
+                lf = t.last_frame
+                if lf is not None and lf.R is not None and t.ref_kf >= 0 \
+                        and self.store.kf_valid[t.ref_kf]:
+                    fe.rebuild(t.ref_kf, lf.mp, lf.R, lf.t,
+                               velocity=t.velocity, prev_oct=lf.octave)
+                    t._fused_prev_pose = (lf.R.copy(), lf.t.copy())
+            if fe.ready():
+                fid = self._next_frame_id
+                self._next_frame_id += 1
+                rec = t.track_fused(image_u8, timestamp, fid)
+                if rec.get("ok") and rec.get("R") is not None:
+                    T = np.eye(4, dtype=np.float32)
+                    T[:3, :3] = rec["R"]
+                    T[:3, 3] = rec["t"]
+                    return T
+                return None
         frame = self.make_frame(image_u8, features, timestamp)
         rec = self.tracking.track(frame)
         self.last_frame = frame
@@ -147,6 +183,51 @@ class SlamSystem:
             T[:3, 3] = frame.t
             return T
         return None
+
+    def track_monocular_batch(self, images, timestamps=None, chunk=8):
+        """Throughput API: track a sequence of mono images, processing
+        OK-state stretches as fused device chunks (one dispatch + one
+        readback per `chunk` frames — see system/fused.track_chunk).
+        Initialization, relocalization, and keyframe events fall back to
+        the per-frame paths. Returns a list of Tcw (4x4) or None."""
+        t = self.tracking
+        fe = t.fused
+        n = len(images)
+        if timestamps is None:
+            timestamps = [i / 30.0 for i in range(n)]
+        poses: list = []
+        i = 0
+        while i < n:
+            if fe is not None and t.state == "OK" and n - i >= chunk:
+                if not fe.ready():
+                    lf = t.last_frame
+                    if lf is not None and lf.R is not None \
+                            and t.ref_kf >= 0 \
+                            and self.store.kf_valid[t.ref_kf]:
+                        fe.rebuild(t.ref_kf, lf.mp, lf.R, lf.t,
+                                   velocity=t.velocity, prev_oct=lf.octave)
+                        t._fused_prev_pose = (lf.R.copy(), lf.t.copy())
+                if fe.ready():
+                    base = self._next_frame_id
+                    consumed = t.track_fused_chunk(
+                        np.stack(images[i:i + chunk]),
+                        timestamps[i:i + chunk], base)
+                    self._next_frame_id = base + consumed
+                    for c in range(consumed):
+                        rec = t.metrics[-(consumed - c)]
+                        T = np.eye(4, dtype=np.float32)
+                        T[:3, :3] = rec["R"]
+                        T[:3, 3] = rec["t"]
+                        poses.append(T)
+                    i += consumed
+                    if consumed == chunk or (consumed > 0
+                                             and t.state == "OK"):
+                        continue    # full chunk, or mid-chunk KF event
+                    # mid-chunk failure: fall through to per-frame path
+            poses.append(self.track_monocular(images[i],
+                                              timestamp=timestamps[i]))
+            i += 1
+        return poses
 
     def track_stereo(self, left_u8, right_u8, timestamp=0.0):
         """Parity: System::TrackStereo."""
@@ -199,14 +280,18 @@ class SlamSystem:
 
     def deactivate_localization_mode(self):
         self.tracking.only_tracking = False
+        self.tracking.vo = False
 
     def reset(self):
         """Parity: System::Reset."""
         self.tracking.reset()
 
     def shutdown(self):
-        """Parity: System::Shutdown (no threads to join — pipeline stages
-        are synchronous; kept for API parity)."""
+        """Parity: System::Shutdown — waits for (and applies) a pending
+        background global BA, like the reference's GBA-thread join."""
+        lc = self.tracking.loop_closer
+        if lc is not None:
+            lc.gba.poll(block=True)
 
     # ------------------------------------------------------------------
     # map checkpoint / resume (capability the reference lacks — SURVEY §5.4)
