@@ -86,17 +86,20 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
     def edge_chi2(r):
         return jnp.sum(r * r, -1) * inv_sigma2
 
-    def lm_step(R_all, t_all, X, inlier, lam, use_huber):
-        r, Jc, Jpt, behind = residuals(R_all, t_all, X)
+    def lm_step(R_all, t_all, X, inlier, lam, rjac, use_huber):
+        # rjac: residuals/Jacobians AT the current accepted state, carried
+        # from the previous iteration's evaluation — each LM iteration
+        # evaluates the model exactly ONCE (at the trial point)
+        r, Jc, Jpt, behind = rjac
         c2 = edge_chi2(r)
         w_h = jnp.where(use_huber, huber_weight(c2, chi2_th), 1.0)
         w = inv_sigma2 * w_h * inlier * obs_valid * (~behind) \
             * pt_valid[:, None] * cam_valid_o
         # fixed cameras: their residuals constrain POINTS but produce no
         # camera gradient -> zero their Jc
-        Jc = jnp.where(cam_fixed_o[..., None, None] > 0, 0.0, Jc)
+        Jcz = jnp.where(cam_fixed_o[..., None, None] > 0, 0.0, Jc)
 
-        blocks = ba_core.schur_blocks(r, Jc, Jpt, w, oc, C, lam, oh=oh)
+        blocks = ba_core.schur_blocks(r, Jcz, Jpt, w, oc, C, lam, oh=oh)
         dx_c = ba_core.solve_camera_system(
             blocks["S"], blocks["b_s"], cam_valid & (~cam_fixed), lam)
         dx_p = ba_core.backsub_points(blocks, dx_c, oc, oh=oh)
@@ -107,9 +110,11 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
         t_new = jnp.where(cam_fixed[:, None], t_all, t_new)
         X_new = jnp.where(pt_valid[:, None], X + dx_p, X)
 
-        # accept / reject on robustified cost
+        # accept / reject on robustified cost (the trial evaluation is
+        # REUSED as the next iteration's model when accepted)
         mask = inlier * obs_valid * pt_valid[:, None] * cam_valid_o
-        r2, _, _, behind2 = residuals(R_new, t_new, X_new)
+        rjac_new = residuals(R_new, t_new, X_new)
+        r2, _, _, behind2 = rjac_new
         c2n = edge_chi2(r2)
         w_hn = jnp.where(use_huber, huber_weight(c2n, chi2_th), 1.0)
         cost_old = jnp.sum(c2 * w_h * mask * (~behind))
@@ -118,29 +123,34 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
         R_all = jnp.where(accept, R_new, R_all)
         t_all = jnp.where(accept, t_new, t_all)
         X = jnp.where(accept, X_new, X)
+        rjac = jax.tree.map(lambda a, b: jnp.where(accept, a, b)
+                            if a.dtype != bool
+                            else jnp.where(accept, a, b),
+                            rjac_new, rjac)
         lam = jnp.clip(jnp.where(accept, lam * 0.4, lam * 5.0), 1e-7, 1e4)
-        return R_all, t_all, X, lam, cost_new
+        return R_all, t_all, X, lam, rjac
 
     def run_phase(carry, n_iters, use_huber):
         def body(_, c):
-            R_all, t_all, X, inlier, lam = c
-            R_all, t_all, X, lam, _ = lm_step(R_all, t_all, X, inlier, lam,
-                                              use_huber)
-            return R_all, t_all, X, inlier, lam
+            R_all, t_all, X, inlier, lam, rjac = c
+            R_all, t_all, X, lam, rjac = lm_step(R_all, t_all, X, inlier,
+                                                 lam, rjac, use_huber)
+            return R_all, t_all, X, inlier, lam, rjac
         return jax.lax.fori_loop(0, n_iters, body, carry)
 
     inlier = obs_valid
-    carry = (cam_R, cam_t, pts, inlier, jnp.float32(1e-4))
+    rjac = residuals(cam_R, cam_t, pts)
+    carry = (cam_R, cam_t, pts, inlier, jnp.float32(1e-4), rjac)
     carry = run_phase(carry, n_iters_1, jnp.asarray(True))
     # mid-way outlier strip (parity: LocalBundleAdjustment chi2 gate)
-    R_all, t_all, X, _, lam = carry
-    r, _, _, behind = residuals(R_all, t_all, X)
+    R_all, t_all, X, _, lam, rjac = carry
+    r, _, _, behind = rjac
     inlier = (edge_chi2(r) <= chi2_th) & (~behind) & obs_valid
-    carry = (R_all, t_all, X, inlier, lam)
+    carry = (R_all, t_all, X, inlier, lam, rjac)
     carry = run_phase(carry, n_iters_2, jnp.asarray(True))
-    R_all, t_all, X, inlier, lam = carry
+    R_all, t_all, X, inlier, lam, rjac = carry
 
-    r, _, _, behind = residuals(R_all, t_all, X)
+    r, _, _, behind = rjac            # residuals at the final state
     c2 = edge_chi2(r)
     inlier = (c2 <= chi2_th) & (~behind) & obs_valid
     cost = jnp.sum(jnp.where(inlier, c2, 0.0))

@@ -180,6 +180,9 @@ _IC_MASK, _IC_DX, _IC_DY = None, None, None
 
 
 def _ic_tables():
+    # cached as NUMPY: module-global device arrays created inside a jit
+    # trace capture tracers and poison later traces (observed live when
+    # a second OrbConfig was compiled in one process)
     global _IC_MASK, _IC_DX, _IC_DY
     if _IC_MASK is None:
         r = np.arange(-HALF_PATCH, HALF_PATCH + 1)
@@ -188,10 +191,11 @@ def _ic_tables():
         v = np.arange(HALF_PATCH + 1)
         umax = np.round(np.sqrt(HALF_PATCH ** 2 - v ** 2)).astype(int)
         mask = np.abs(dx) <= umax[np.abs(dy)]
-        _IC_MASK = jnp.asarray(mask, jnp.float32)
-        _IC_DX = jnp.asarray(dx * mask, jnp.float32)
-        _IC_DY = jnp.asarray(dy * mask, jnp.float32)
-    return _IC_MASK, _IC_DX, _IC_DY
+        _IC_MASK = np.asarray(mask, np.float32)
+        _IC_DX = np.asarray(dx * mask, np.float32)
+        _IC_DY = np.asarray(dy * mask, np.float32)
+    return (jnp.asarray(_IC_MASK), jnp.asarray(_IC_DX),
+            jnp.asarray(_IC_DY))
 
 
 def ic_angles(img_f, ys, xs):
@@ -221,9 +225,9 @@ _PAT = None
 
 def _pattern():
     global _PAT
-    if _PAT is None:
-        _PAT = jnp.asarray(BIT_PATTERN_31, jnp.float32)  # (256,4) xa ya xb yb
-    return _PAT
+    if _PAT is None:   # numpy cache (see _ic_tables note)
+        _PAT = np.asarray(BIT_PATTERN_31, np.float32)  # (256,4) xa ya xb yb
+    return jnp.asarray(_PAT)
 
 
 BRIEF_HALF = 18   # max |rotated offset| = ceil(13 * sqrt(2)) — patch bound

@@ -313,6 +313,9 @@ class LoopCloser:
             corrected[g] = (Rn, tn, s_corr)
 
         # correct landmarks observed by the group: X' = S_new^-1(S_old(X))
+        # — under the map-update lock (mMutexMapUpdate parity: loop
+        # correction vs the tracking thread's pose-anchor reads)
+        s.lock.acquire()
         moved = set()
         for g in group:
             Rn, tn, sn = corrected[g]
@@ -335,6 +338,7 @@ class LoopCloser:
             s.kf_R[g] = Rn
             s.kf_t[g] = tn / sn
         s.bump()   # poses/landmarks moved -> invalidate device caches
+        s.lock.release()
 
         # fuse loop landmarks into the corrected current KF
         idx, ids = getattr(self, "_loop_match", (None, None))
@@ -441,7 +445,8 @@ class LoopCloser:
         tn[bad] = s.kf_t[bad]
         sn[bad] = 1.0
         # landmark correction via reference KF (first observer):
-        # X' = S_new^-1 ( S_old (X) )
+        # X' = S_new^-1 ( S_old (X) ) — fenced by the map-update lock
+        s.lock.acquire()
         mp_ids = s.map_point_ids()
         ref_kf = s.mp_obs_kf[mp_ids, 0]
         good = ref_kf >= 0
@@ -457,3 +462,4 @@ class LoopCloser:
         s.kf_R[ids] = Rn[ids]
         s.kf_t[ids] = tn[ids] / sn[ids][:, None]
         s.bump()   # poses/landmarks moved -> invalidate device caches
+        s.lock.release()

@@ -89,6 +89,12 @@ class BackgroundGBA:
         RunGlobalBundleAdjustment)."""
         from ..core.lie import project_so3
         s, g = self.store, job["g"]
+        # write-back + propagation under the map-update lock (the
+        # stop-the-mapper section of RunGlobalBundleAdjustment)
+        with s.lock:
+            self._apply_locked(job, res, g, s, project_so3)
+
+    def _apply_locked(self, job, res, g, s, project_so3):
         cam_R = project_so3(res["cam_R"])
         cam_t = np.asarray(res["cam_t"])
         pts = np.asarray(res["pts"])

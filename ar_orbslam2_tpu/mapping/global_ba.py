@@ -46,8 +46,14 @@ def gather_global(store):
 
     slot_of = np.full(s.cfg.max_keyframes, -1, np.int64)
     slot_of[kf_ids] = np.arange(len(kf_ids))
-    okf = s.mp_obs_kf[selp]
-    oft = np.maximum(s.mp_obs_feat[selp], 0)
+    # trim the prefix-compacted observation axis to a bucketed actual
+    # max (same rationale as gather_local_window — BA cost is linear
+    # in the observation slots)
+    from .local_mapping import _bucket_obs
+    n_obs_max = int(s.mp_nobs[selp].max(initial=1))
+    O = min(O, _bucket_obs(n_obs_max))
+    okf = s.mp_obs_kf[selp, :O]
+    oft = np.maximum(s.mp_obs_feat[selp, :O], 0)
     obs_cam = np.where(okf >= 0, slot_of[np.maximum(okf, 0)], -1)
     obs_valid = (obs_cam >= 0) & pt_valid[:, None]
     obs_uv = s.kf_uv[np.maximum(okf, 0), oft]

@@ -78,6 +78,15 @@ def _batched_fuse(cam, pos, signs, normal, dmin, dmax, valid, tgts,
     return idx
 
 
+def _bucket_obs(n):
+    """Round an observation count up to a small bucket so the BA kernel
+    compiles for a handful of shapes, not one per keyframe."""
+    for b in (8, 16, 24, 32):
+        if n <= b:
+            return b
+    return ((n + 15) // 16) * 16
+
+
 def _bundle_signs(b):
     """gather_map_points bundle -> upload form (packed desc -> ±1 signs)."""
     bits = np.unpackbits(np.asarray(b["desc"], np.uint8), axis=-1,
@@ -241,28 +250,30 @@ class LocalMapper:
 
         n_created = 0
         all_ids = []
-        for i, nb in enumerate(keep):
-            g = good[i]
-            if not g.any():
-                continue
-            feats1 = np.nonzero(g)[0]
-            # sequential-parity: skip features bound by an earlier neighbor
-            feats1 = feats1[s.kf_mp[kf, feats1] < 0]
-            if len(feats1) == 0:
-                continue
-            feats2 = idx[i][feats1]
-            ids = s.add_map_points(xw[i][feats1], s.kf_desc[kf, feats1],
-                                  first_kf=kf)
-            s.add_observations(ids, kf, feats1)
-            s.add_observations(ids, nb, feats2)
-            self.recent.update((int(m), kf) for m in ids)
-            all_ids.append(ids)
-            n_created += len(ids)
-        if n_created:
-            ids = np.concatenate(all_ids)
-            s.compute_distinctive_descriptors(ids)
-            s.update_normal_and_depth(ids)
-            s.update_connections(kf)
+        with s.lock:
+            for i, nb in enumerate(keep):
+                g = good[i]
+                if not g.any():
+                    continue
+                feats1 = np.nonzero(g)[0]
+                # sequential-parity: skip features bound by an earlier
+                # neighbor
+                feats1 = feats1[s.kf_mp[kf, feats1] < 0]
+                if len(feats1) == 0:
+                    continue
+                feats2 = idx[i][feats1]
+                ids = s.add_map_points(xw[i][feats1],
+                                       s.kf_desc[kf, feats1], first_kf=kf)
+                s.add_observations(ids, kf, feats1)
+                s.add_observations(ids, nb, feats2)
+                self.recent.update((int(m), kf) for m in ids)
+                all_ids.append(ids)
+                n_created += len(ids)
+            if n_created:
+                ids = np.concatenate(all_ids)
+                s.compute_distinctive_descriptors(ids)
+                s.update_normal_and_depth(ids)
+                s.update_connections(kf)
         return n_created
 
     def _stacked_signs(self, kf_arr):
@@ -351,6 +362,11 @@ class LocalMapper:
         bind each matched landmark to the keypoint, or merge with the
         existing binding (keep the landmark with more observers)."""
         s = self.store
+        with s.lock:
+            self._apply_fuse_locked(idx, ids, target_kf)
+
+    def _apply_fuse_locked(self, idx, ids, target_kf):
+        s = self.store
         for row in np.nonzero(idx >= 0)[0]:
             mp = int(ids[row])
             if mp < 0 or not s.mp_valid[mp]:
@@ -413,11 +429,17 @@ class LocalMapper:
         pts = s.mp_pos[selp].copy()
         pt_valid = mp_arr >= 0
 
-        # map observation KF ids -> window slots
+        # map observation KF ids -> window slots. Observation slots are
+        # prefix-compacted (first nobs entries valid), so the table can
+        # be TRIMMED to a bucketed actual maximum — BA cost scales
+        # linearly with the observation axis, and the padded max_obs=48
+        # is 3-5x the realistic per-landmark count.
         slot_of = np.full(s.cfg.max_keyframes, -1, np.int64)
         slot_of[np.asarray(window, np.int64)] = np.arange(len(window))
-        okf = s.mp_obs_kf[selp]                     # (P, O)
-        oft = np.maximum(s.mp_obs_feat[selp], 0)
+        n_obs_max = int(s.mp_nobs[selp].max(initial=1))
+        O = min(O, _bucket_obs(n_obs_max))
+        okf = s.mp_obs_kf[selp, :O]                 # (P, O)
+        oft = np.maximum(s.mp_obs_feat[selp, :O], 0)
         obs_cam = np.where(okf >= 0, slot_of[np.maximum(okf, 0)], -1)
         obs_valid = (obs_cam >= 0) & pt_valid[:, None]
         obs_uv = s.kf_uv[np.maximum(okf, 0), oft]
@@ -459,27 +481,29 @@ class LocalMapper:
         pts = np.asarray(res["pts"])
         inl = np.asarray(res["obs_inlier"])
         # write back optimized local poses + landmark positions (skip any
-        # diverged slot — project_so3 marks non-finite rotations NaN)
-        for i in range(w["n_local"]):
-            k = w["window"][i]
-            if not w["cam_fixed"][i] and np.isfinite(cam_R[i]).all() \
-                    and np.isfinite(cam_t[i]).all():
-                s.kf_R[k] = cam_R[i]
-                s.kf_t[k] = cam_t[i]
-        n_mp = len(w["mp_ids"])
-        finite = np.isfinite(pts[:n_mp]).all(-1)
-        s.mp_pos[w["mp_ids"][finite]] = pts[:n_mp][finite]
-        s.bump()   # poses/landmarks moved -> invalidate device bundle caches
-        # erase outlier observations (parity with the post-BA erase loop)
-        bad = w["obs_valid"] & ~inl
-        rows, cols = np.nonzero(bad)
-        for r, c in zip(rows, cols):
-            mp = int(w["mp_ids"][r]) if r < n_mp else -1
-            okf = int(w["obs_kf"][r, c])
-            if mp >= 0 and okf >= 0 and s.mp_valid[mp]:
-                s.erase_observation(mp, okf)
-        if len(rows):
-            s.update_connections(kf)
+        # diverged slot — project_so3 marks non-finite rotations NaN);
+        # store.lock fences the async tracking thread's boundary reads
+        with s.lock:
+            for i in range(w["n_local"]):
+                k = w["window"][i]
+                if not w["cam_fixed"][i] and np.isfinite(cam_R[i]).all() \
+                        and np.isfinite(cam_t[i]).all():
+                    s.kf_R[k] = cam_R[i]
+                    s.kf_t[k] = cam_t[i]
+            n_mp = len(w["mp_ids"])
+            finite = np.isfinite(pts[:n_mp]).all(-1)
+            s.mp_pos[w["mp_ids"][finite]] = pts[:n_mp][finite]
+            s.bump()   # poses/landmarks moved -> invalidate bundle caches
+            # erase outlier observations (parity: the post-BA erase loop)
+            bad = w["obs_valid"] & ~inl
+            rows, cols = np.nonzero(bad)
+            for r, c in zip(rows, cols):
+                mp = int(w["mp_ids"][r]) if r < n_mp else -1
+                okf = int(w["obs_kf"][r, c])
+                if mp >= 0 and okf >= 0 and s.mp_valid[mp]:
+                    s.erase_observation(mp, okf)
+            if len(rows):
+                s.update_connections(kf)
 
     # ------------------------------------------------------------------
     def cull_keyframes(self, kf: int):

@@ -47,7 +47,13 @@ class MapStore:
     """The global map: keyframes, landmarks, covisibility, spanning tree."""
 
     def __init__(self, cfg: MapConfig = MapConfig()):
+        import threading
         self.cfg = cfg
+        # coarse map-update lock (parity: Map::mMutexMapUpdate) — held by
+        # the async mapping stage around write-backs and by the tracking
+        # loop around its chunk-boundary reads; single-threaded use never
+        # contends
+        self.lock = threading.RLock()
         K, M, P, O = (cfg.max_keyframes, cfg.max_map_points,
                       cfg.max_kp, cfg.max_obs)
         # --- keyframes ---

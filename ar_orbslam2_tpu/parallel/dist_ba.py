@@ -102,15 +102,17 @@ def dist_bundle_adjust(mesh, cam_R, cam_t, cam_fixed, cam_valid,
             return jnp.sum(r * r, -1) * inv_sigma2
 
         def lm_step(carry, _):
-            R_all, t_all, X, inlier, lam = carry
-            r, Jc, Jpt, behind = residuals(R_all, t_all, X)
+            # rjac: model at the current accepted state (single residual
+            # evaluation per iteration — same scheme as local_ba)
+            R_all, t_all, X, inlier, lam, rjac = carry
+            r, Jc, Jpt, behind = rjac
             c2 = edge_chi2(r)
             w_h = huber_weight(c2, chi2_th)
             w = inv_sigma2 * w_h * inlier * obs_valid * (~behind) \
                 * pt_valid[:, None] * cam_valid_o
-            Jc = jnp.where(cam_fixed_o[..., None, None] > 0, 0.0, Jc)
+            Jcz = jnp.where(cam_fixed_o[..., None, None] > 0, 0.0, Jc)
 
-            blocks = ba_core.schur_blocks(r, Jc, Jpt, w, oc, C, lam,
+            blocks = ba_core.schur_blocks(r, Jcz, Jpt, w, oc, C, lam,
                                           oh=oh)
             # the ONLY cross-device reduction: camera system contributions
             S = jax.lax.psum(blocks["S"], axis)
@@ -126,7 +128,8 @@ def dist_bundle_adjust(mesh, cam_R, cam_t, cam_fixed, cam_valid,
             X_new = jnp.where(pt_valid[:, None], X + dx_p, X)
 
             mask = inlier * obs_valid * pt_valid[:, None] * cam_valid_o
-            r2, _, _, behind2 = residuals(R_new, t_new, X_new)
+            rjac_new = residuals(R_new, t_new, X_new)
+            r2, _, _, behind2 = rjac_new
             c2n = edge_chi2(r2)
             w_hn = huber_weight(c2n, chi2_th)
             cost_old = jax.lax.psum(jnp.sum(c2 * w_h * mask * (~behind)),
@@ -137,22 +140,25 @@ def dist_bundle_adjust(mesh, cam_R, cam_t, cam_fixed, cam_valid,
             R_all = jnp.where(accept, R_new, R_all)
             t_all = jnp.where(accept, t_new, t_all)
             X = jnp.where(accept, X_new, X)
+            rjac = jax.tree.map(lambda a, b: jnp.where(accept, a, b),
+                                rjac_new, rjac)
             lam = jnp.clip(jnp.where(accept, lam * 0.4, lam * 5.0),
                            1e-7, 1e4)
-            return (R_all, t_all, X, inlier, lam), cost_new
+            return (R_all, t_all, X, inlier, lam, rjac), cost_new
 
         inlier = obs_valid
-        carry = (cam_R, cam_t, pts, inlier, jnp.float32(1e-4))
+        rjac = residuals(cam_R, cam_t, pts)
+        carry = (cam_R, cam_t, pts, inlier, jnp.float32(1e-4), rjac)
         n1 = max(n_iters // 3, 1)
         carry, _ = jax.lax.scan(lm_step, carry, None, length=n1)
         # mid-way outlier strip (parity: LocalBundleAdjustment chi2 gate)
-        R_all, t_all, X, _, lam = carry
-        r, _, _, behind = residuals(R_all, t_all, X)
+        R_all, t_all, X, _, lam, rjac = carry
+        r, _, _, behind = rjac
         inlier = (edge_chi2(r) <= chi2_th) & (~behind) & obs_valid
-        carry = (R_all, t_all, X, inlier, lam)
+        carry = (R_all, t_all, X, inlier, lam, rjac)
         carry, _ = jax.lax.scan(lm_step, carry, None, length=n_iters - n1)
-        R_all, t_all, X, inlier, lam = carry
-        r, _, _, behind = residuals(R_all, t_all, X)
+        R_all, t_all, X, inlier, lam, rjac = carry
+        r, _, _, behind = rjac
         c2 = edge_chi2(r)
         inlier = (c2 <= chi2_th) & (~behind) & obs_valid
         cost = jax.lax.psum(jnp.sum(jnp.where(inlier, c2, 0.0)), axis)

@@ -117,21 +117,30 @@ def _megastep_core(cam, state, uv, desc_bits, octave, valid, angle,
                  & state["have_vel"])
 
     # ---- fallback: brute-force vs the local bundle --------------------
-    f_idx, _ = matcher.search_brute_force(lm_signs, lm_valid, signs, valid,
-                                          th=H.TH_LOW, nn_ratio=0.75)
-    f_matched = f_idx >= 0
-    fj = jnp.maximum(f_idx, 0)
-    f_res = pose_optimization(prev_R, prev_t, lm_pos, uv[fj], octave[fj],
-                              f_matched, cam)
-    f_inl = jnp.sum((f_res["inlier"] & f_matched).astype(jnp.int32))
-    f_nm = jnp.sum(f_matched.astype(jnp.int32))
+    # only evaluated when the motion model failed (lax.cond executes one
+    # branch): on the common path this skips a 4096x1024 Hamming matmul
+    # + 40 LM iterations per frame
+    def run_fallback(_):
+        f_idx, _ = matcher.search_brute_force(
+            lm_signs, lm_valid, signs, valid, th=H.TH_LOW, nn_ratio=0.75)
+        f_matched = f_idx >= 0
+        fj = jnp.maximum(f_idx, 0)
+        f_res = pose_optimization(prev_R, prev_t, lm_pos, uv[fj],
+                                  octave[fj], f_matched, cam)
+        f_inl = jnp.sum((f_res["inlier"] & f_matched).astype(jnp.int32))
+        f_nm = jnp.sum(f_matched.astype(jnp.int32))
+        return f_res["R"], f_res["t"], f_inl, f_nm
+
+    def skip_fallback(_):
+        return (prev_R, prev_t, jnp.int32(0), jnp.int32(0))
+
+    fR, ft, f_inl, f_nm = jax.lax.cond(motion_ok, skip_fallback,
+                                       run_fallback, operand=None)
     fb_ok = (f_nm >= 15) & (f_inl >= min_inliers_track)
 
     pre_ok = motion_ok | fb_ok
-    R1 = jnp.where(motion_ok, m_res["R"], jnp.where(fb_ok, f_res["R"],
-                                                    R_pred))
-    t1 = jnp.where(motion_ok, m_res["t"], jnp.where(fb_ok, f_res["t"],
-                                                    t_pred))
+    R1 = jnp.where(motion_ok, m_res["R"], jnp.where(fb_ok, fR, R_pred))
+    t1 = jnp.where(motion_ok, m_res["t"], jnp.where(fb_ok, ft, t_pred))
 
     # ---- local-map track (TrackLocalMap) ------------------------------
     l_idx, visible, _ = matcher.search_local_points(
@@ -368,6 +377,27 @@ class FusedFrontend:
         frame.mp[:] = np.where(live, mp, -1)
         self._vel = (np.asarray(got["vel_R"]), np.asarray(got["vel_t"]))
         return frame
+
+    def refresh_bundle(self, anchor_kf: int):
+        """Re-anchor the device bundle to the CURRENT map after an async
+        mapping/loop step finished (store.version changed while tracking
+        kept riding the old immutable bundle snapshot — the reference's
+        tracking/mapping thread hand-off). ONE readback + ONE upload."""
+        st = self.state
+        got = jax.device_get(dict(
+            slot=st["prev_slot"], R=st["prev_R"], t=st["prev_t"],
+            oct=st["kp_oct"], vel_R=st["vel_R"], vel_t=st["vel_t"],
+            have_vel=st["have_vel"],
+            acc_visible=st["acc_visible"], acc_found=st["acc_found"]))
+        self._fold_counters(got)
+        slot = np.asarray(got["slot"])
+        mp = np.where(slot >= 0, self.bundle_ids[np.maximum(slot, 0)], -1)
+        mp = self.store.resolve_replacements(mp)
+        vel = (np.asarray(got["vel_R"]), np.asarray(got["vel_t"])) \
+            if bool(got["have_vel"]) else None
+        self.rebuild(anchor_kf, mp, np.asarray(got["R"]),
+                     np.asarray(got["t"]), velocity=vel,
+                     prev_oct=np.asarray(got["oct"]))
 
     def _fold_counters(self, got=None):
         """Fold device visible/found accumulators into the MapStore."""

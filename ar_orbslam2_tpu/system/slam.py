@@ -37,6 +37,10 @@ class SlamConfig:
     # device-resident fused tracking for the image->mono path (one
     # dispatch chain + one readback per frame; system/fused.py)
     use_fused_tracking: bool = True
+    # run the mapping stage on a worker thread, reference-style (the
+    # LocalMapping/LoopClosing threads): tracking never waits for
+    # mapping; keyframes are dropped while the mapper is busy
+    async_mapping: bool = False
 
 
 class SlamSystem:
@@ -92,6 +96,11 @@ class SlamSystem:
             self._orb_cfg = OrbConfig(n_features=cfg.tracking.max_kp)
             self.tracking.fused = FusedFrontend(
                 self.store, cam, cfg.tracking, self._orb_cfg)
+        if cfg.async_mapping:
+            from ..mapping.async_mapper import AsyncMapper
+            self.tracking.async_mapper = AsyncMapper(
+                self.mapper, loop_closer=self.tracking.loop_closer,
+                relocalizer=self.tracking.relocalizer)
         self._next_frame_id = 0
 
     # ------------------------------------------------------------------
@@ -196,10 +205,12 @@ class SlamSystem:
         if timestamps is None:
             timestamps = [i / 30.0 for i in range(n)]
         poses: list = []
+        am = t.async_mapper
         i = 0
         while i < n:
             if fe is not None and t.state == "OK" and n - i >= chunk:
-                if not fe.ready():
+                mapper_idle = am is None or not am.busy()
+                if fe.state is None:
                     lf = t.last_frame
                     if lf is not None and lf.R is not None \
                             and t.ref_kf >= 0 \
@@ -207,7 +218,15 @@ class SlamSystem:
                         fe.rebuild(t.ref_kf, lf.mp, lf.R, lf.t,
                                    velocity=t.velocity, prev_oct=lf.octave)
                         t._fused_prev_pose = (lf.R.copy(), lf.t.copy())
-                if fe.ready():
+                elif not fe.ready() and mapper_idle \
+                        and t.ref_kf >= 0 \
+                        and self.store.kf_valid[t.ref_kf]:
+                    # async mapping/loop finished: re-anchor the bundle
+                    with self.store.lock:
+                        fe.refresh_bundle(t.ref_kf)
+                # a stale-but-usable bundle still tracks (the reference's
+                # tracking thread rides the old map while mapping runs)
+                if fe.state is not None:
                     base = self._next_frame_id
                     consumed = t.track_fused_chunk(
                         np.stack(images[i:i + chunk]),
@@ -287,8 +306,12 @@ class SlamSystem:
         self.tracking.reset()
 
     def shutdown(self):
-        """Parity: System::Shutdown — waits for (and applies) a pending
-        background global BA, like the reference's GBA-thread join."""
+        """Parity: System::Shutdown — joins the mapping worker and waits
+        for (and applies) a pending background global BA, like the
+        reference's thread joins."""
+        am = self.tracking.async_mapper
+        if am is not None:
+            am.join()
         lc = self.tracking.loop_closer
         if lc is not None:
             lc.gba.poll(block=True)

@@ -151,6 +151,7 @@ class Tracking:
         self.relocalizer = relocalizer      # set by SlamSystem
         self.loop_closer = loop_closer
         self.fused = None                   # FusedFrontend (image mono path)
+        self.async_mapper = None            # AsyncMapper (mapping thread)
         self.state = NOT_INITIALIZED
         self.only_tracking = False
         # localization-mode VO regime (parity: Tracking::mbVO,
@@ -350,8 +351,11 @@ class Tracking:
             self._record(shim, ok_flag=True, n_inliers=n_inl)
             self._fused_prev_pose = (R, t)
             consumed += 1
-            if not self.only_tracking and self._need_new_keyframe(shim,
-                                                                  n_inl):
+            # parity: keyframes are only accepted while the mapping stage
+            # is idle (LocalMapping::SetAcceptKeyFrames)
+            accept_kf = not self.only_tracking and (
+                self.async_mapper is None or not self.async_mapper.busy())
+            if accept_kf and self._need_new_keyframe(shim, n_inl):
                 # adaptive consumption: stop HERE, promote THIS frame to
                 # a keyframe from its on-device snapshot; the rest of the
                 # chunk re-enters against the updated map (reference
@@ -379,13 +383,23 @@ class Tracking:
             t1 = _time.perf_counter()
             frame = fe.materialize_chunk_frame(
                 kf_at, timestamps[kf_at], base_frame_id + kf_at)
-            self._create_keyframe(frame)
-            kf = self.ref_kf
-            fe.rebuild(kf, self.store.kf_mp[kf], self.store.kf_R[kf],
-                       self.store.kf_t[kf])
-            self._fused_prev_pose = (self.store.kf_R[kf].copy(),
-                                     self.store.kf_t[kf].copy())
-            self.last_frame = frame
+            if self.async_mapper is not None:
+                # insert the keyframe synchronously (cheap store writes),
+                # hand the mapping stage to the worker, and KEEP TRACKING
+                # on the current device bundle — the reference's
+                # tracking/mapping thread split; the bundle refreshes at
+                # a later chunk boundary once the mapper is idle
+                kf = self._insert_keyframe(frame)
+                self.async_mapper.submit(kf)
+                self.last_frame = frame
+            else:
+                self._create_keyframe(frame)
+                kf = self.ref_kf
+                fe.rebuild(kf, self.store.kf_mp[kf], self.store.kf_R[kf],
+                           self.store.kf_t[kf])
+                self._fused_prev_pose = (self.store.kf_R[kf].copy(),
+                                         self.store.kf_t[kf].copy())
+                self.last_frame = frame
             if self.metrics:
                 self.metrics[-1]["t_kf_ms"] = round(
                     (_time.perf_counter() - t1) * 1e3, 2)
@@ -408,8 +422,9 @@ class Tracking:
             # final trajectory benefits from later BA/loop refinement of
             # the KF (parity: mlRelativeFramePoses in SaveTrajectoryTUM)
             if self.ref_kf >= 0:
-                R_rw = self.store.kf_R[self.ref_kf]
-                t_rw = self.store.kf_t[self.ref_kf]
+                with self.store.lock:   # vs async mapper write-backs
+                    R_rw = self.store.kf_R[self.ref_kf].copy()
+                    t_rw = self.store.kf_t[self.ref_kf].copy()
                 R_cr = frame.R @ R_rw.T
                 rec["R_cr"] = R_cr
                 rec["t_cr"] = frame.t - R_cr @ t_rw
@@ -776,22 +791,29 @@ class Tracking:
               and n_inliers > cfg.min_matches_new_kf)
         return bool((c1a or c1b or c1c) and c2)
 
-    def _create_keyframe(self, frame: Frame):
+    def _insert_keyframe(self, frame: Frame) -> int:
+        """Store-side keyframe insertion (cheap, synchronous): the part
+        of CreateNewKeyFrame that must happen on the tracking thread."""
         s = self.store
-        kf = s.add_keyframe(frame.R, frame.t, frame.uv, frame.desc_packed,
-                            frame.octave, frame.valid,
-                            timestamp=frame.timestamp,
-                            frame_id=frame.frame_id, angle=frame.angle,
-                            uvr=frame.uvr, depth=frame.depth)
-        feats = np.nonzero(frame.mp >= 0)[0]
-        mps = frame.mp[feats]
-        live = s.mp_valid[mps]
-        s.add_observations(mps[live], kf, feats[live])
-        if frame.depth is not None and self.cfg.depth_threshold_m > 0:
-            self._create_depth_points(frame, kf)
+        with s.lock:
+            kf = s.add_keyframe(frame.R, frame.t, frame.uv,
+                                frame.desc_packed, frame.octave,
+                                frame.valid, timestamp=frame.timestamp,
+                                frame_id=frame.frame_id, angle=frame.angle,
+                                uvr=frame.uvr, depth=frame.depth)
+            feats = np.nonzero(frame.mp >= 0)[0]
+            mps = frame.mp[feats]
+            live = s.mp_valid[mps]
+            s.add_observations(mps[live], kf, feats[live])
+            if frame.depth is not None and self.cfg.depth_threshold_m > 0:
+                self._create_depth_points(frame, kf)
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
         self._dbg["new_kf"] = kf
+        return kf
+
+    def _create_keyframe(self, frame: Frame):
+        kf = self._insert_keyframe(frame)
         self._dbg["n_new_mp"] = self.mapper.process_keyframe(kf)
         # the frame IS this keyframe: adopt its post-BA pose, so the
         # frame->refKF anchor computed later in _record is consistent
@@ -875,6 +897,11 @@ class Tracking:
     # ------------------------------------------------------------------
     def reset(self):
         """Parity: Tracking::Reset — clear map + state, restart init."""
+        if self.async_mapper is not None:      # drain in-flight mapping
+            try:
+                self.async_mapper.join()
+            except RuntimeError:
+                pass
         s = self.store
         s.__init__(s.cfg)
         self.mapper._signs_cache.clear()

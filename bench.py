@@ -45,6 +45,9 @@ def main():
                     help="re-emit the JSON metric every N timed frames")
     ap.add_argument("--chunk", type=int, default=8,
                     help="frames per fused device dispatch (0 = per-frame)")
+    ap.add_argument("--sync-mapping", action="store_true",
+                    help="run the mapping stage inline (default: worker "
+                         "thread, reference-style)")
     args = ap.parse_args()
 
     # persistent compilation cache: reruns skip the multi-minute compile
@@ -66,7 +69,8 @@ def main():
     print(f"[bench] rendered {n_frames} frames in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    slam = SlamSystem(cam, SlamConfig())
+    slam = SlamSystem(cam, SlamConfig(
+        async_mapping=not args.sync_mapping))
 
     def run(frames, timestamps):
         if args.chunk > 1:
@@ -79,6 +83,11 @@ def main():
     ts = [i / 30.0 for i in range(n_frames)]
     t0 = time.perf_counter()
     run(imgs[:args.warmup], ts[:args.warmup])
+    if args.chunk > 1:
+        # compile the per-frame fallback path too (used on mid-chunk
+        # failures / tail frames) so it never lands in the timed region
+        slam.track_monocular(imgs[args.warmup - 1],
+                             timestamp=ts[args.warmup - 1])
     print(f"[bench] warmup ({args.warmup} frames incl. compile): "
           f"{time.perf_counter() - t0:.1f}s; state={slam.tracking.state} "
           f"kf={slam.store.n_keyframes()} mp={slam.store.n_map_points()}",
@@ -114,6 +123,7 @@ def main():
                   f"median={np.median(kf_ms):.0f} max={max(kf_ms):.0f} "
                   f"({len(kf_ms)} KFs)", file=sys.stderr)
     emit(fps)
+    slam.shutdown()       # join mapping worker / pending global BA
 
 
 if __name__ == "__main__":

