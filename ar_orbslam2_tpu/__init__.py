@@ -45,3 +45,25 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # minutes of cold compile). It is NOT enabled at package level because
 # XLA:CPU AOT cache entries are machine-feature-sensitive and poison
 # forced-CPU test runs on heterogeneous hosts.
+
+# Serialize XLA compile/load calls process-wide. The framework runs jax
+# from several threads (tracking, mapping worker, background GBA); a
+# compile issued on a secondary thread while another thread streams
+# dispatches was observed (live, on the axon transport) to deadlock
+# inside backend_compile_and_load. Serialization shrinks the race window;
+# SlamSystem.precompile() removes secondary-thread compiles entirely.
+import threading as _threading
+
+import jax._src.compiler as _jax_compiler
+
+_compile_lock = _threading.Lock()
+_orig_backend_compile = _jax_compiler.backend_compile_and_load
+
+
+def _serialized_backend_compile(*args, **kwargs):
+    with _compile_lock:
+        return _orig_backend_compile(*args, **kwargs)
+
+
+if _jax_compiler.backend_compile_and_load is not _serialized_backend_compile:
+    _jax_compiler.backend_compile_and_load = _serialized_backend_compile

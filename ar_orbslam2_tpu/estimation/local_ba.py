@@ -111,14 +111,21 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
         X_new = jnp.where(pt_valid[:, None], X + dx_p, X)
 
         # accept / reject on robustified cost (the trial evaluation is
-        # REUSED as the next iteration's model when accepted)
+        # REUSED as the next iteration's model when accepted).
+        # Behind-camera observations are PENALIZED, not masked out of the
+        # cost: masking made a divergent step that threw every point
+        # behind the cameras score cost 0 and get ACCEPTED (observed
+        # live: one such step wiped the whole map via the outlier erase).
         mask = inlier * obs_valid * pt_valid[:, None] * cam_valid_o
         rjac_new = residuals(R_new, t_new, X_new)
         r2, _, _, behind2 = rjac_new
         c2n = edge_chi2(r2)
         w_hn = jnp.where(use_huber, huber_weight(c2n, chi2_th), 1.0)
-        cost_old = jnp.sum(c2 * w_h * mask * (~behind))
-        cost_new = jnp.sum(c2n * w_hn * mask * (~behind2))
+        BEHIND_PENALTY = jnp.float32(1e6)
+        cost_old = jnp.sum(jnp.where(behind, BEHIND_PENALTY, c2 * w_h)
+                           * mask)
+        cost_new = jnp.sum(jnp.where(behind2, BEHIND_PENALTY, c2n * w_hn)
+                           * mask)
         accept = cost_new < cost_old
         R_all = jnp.where(accept, R_new, R_all)
         t_all = jnp.where(accept, t_new, t_all)
@@ -128,15 +135,26 @@ def bundle_adjust(cam_R, cam_t, cam_fixed, cam_valid,
                             else jnp.where(accept, a, b),
                             rjac_new, rjac)
         lam = jnp.clip(jnp.where(accept, lam * 0.4, lam * 5.0), 1e-7, 1e4)
-        return R_all, t_all, X, lam, rjac
+        # converged: an accepted step barely moved the robust cost
+        done = accept & (cost_old - cost_new < 1e-5 * (cost_old + 1e-6))
+        return R_all, t_all, X, lam, rjac, done
 
     def run_phase(carry, n_iters, use_huber):
-        def body(_, c):
-            R_all, t_all, X, inlier, lam, rjac = c
-            R_all, t_all, X, lam, rjac = lm_step(R_all, t_all, X, inlier,
-                                                 lam, rjac, use_huber)
-            return R_all, t_all, X, inlier, lam, rjac
-        return jax.lax.fori_loop(0, n_iters, body, carry)
+        # early-exit while_loop: LM typically converges in ~5 iterations
+        # and the iteration cost dominates the mapping stage's device time
+        def cond(c):
+            i, done = c[0], c[-1]
+            return (i < n_iters) & (~done)
+
+        def body(c):
+            i, R_all, t_all, X, inlier, lam, rjac, _ = c
+            R_all, t_all, X, lam, rjac, done = lm_step(
+                R_all, t_all, X, inlier, lam, rjac, use_huber)
+            return (i + 1, R_all, t_all, X, inlier, lam, rjac, done)
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0),) + carry + (jnp.bool_(False),))
+        return out[1:-1]
 
     inlier = obs_valid
     rjac = residuals(cam_R, cam_t, pts)

@@ -131,9 +131,17 @@ def pose_optimization(R0, t0, xw, uv, octave, valid, cam,
     def run_round(R, t, inlier, rjac, use_huber):
         # rjac = residuals/Jacobian AT the current accepted state: one
         # model evaluation per LM iteration (the trial evaluation is
-        # reused when accepted — same scheme as the Schur BA engine)
-        def body(_, carry):
-            R, t, lam, rjac = carry
+        # reused when accepted — same scheme as the Schur BA engine).
+        # Early exit (device while_loop): stop the round once an accepted
+        # step's update norm falls below tol — LM with a good velocity-
+        # model init converges in 2-4 iterations, and loop iterations
+        # dominate the measured device time of the tracking megastep.
+        def cond(carry):
+            i, R, t, lam, rjac, done = carry
+            return (i < n_iters) & (~done)
+
+        def body(carry):
+            i, R, t, lam, rjac, done = carry
             r, J, behind = rjac
             c2 = edge_chi2(r)
             delta2 = jnp.where(stereo_mask, chi2_stereo, chi2_mono)
@@ -146,24 +154,34 @@ def pose_optimization(R0, t0, xw, uv, octave, valid, cam,
             Hd = Hmat + lam * jnp.diag(jnp.diag(Hmat)) + 1e-8 * jnp.eye(6)
             dx = -_solve6(Hd, bvec)
             R_new, t_new = lie.se3_mul(*lie.se3_exp(dx), R, t)
-            # accept if total weighted chi2 decreased
+            # accept if total weighted chi2 decreased. Behind-camera
+            # points are PENALIZED rather than masked: a wild step that
+            # throws points behind the camera must read as a cost
+            # increase, not a free lunch (see local_ba.lm_step).
             rjac_new = residuals(R_new, t_new)
             r_new, _, behind_new = rjac_new
             mask = inlier * valid
-            cost_old = jnp.sum(edge_chi2(r) * w_huber * mask)
+            BEHIND_PENALTY = jnp.float32(1e6)
+            cost_old = jnp.sum(
+                jnp.where(behind, BEHIND_PENALTY,
+                          edge_chi2(r) * w_huber) * mask)
             c2n = edge_chi2(r_new)
             w_hn = jnp.where(use_huber, huber_weight(c2n, delta2), 1.0)
-            cost_new = jnp.sum(c2n * w_hn * mask * (~behind_new))
+            cost_new = jnp.sum(
+                jnp.where(behind_new, BEHIND_PENALTY, c2n * w_hn) * mask)
             accept = cost_new < cost_old
             R = jnp.where(accept, R_new, R)
             t = jnp.where(accept, t_new, t)
             rjac = jax.tree.map(lambda a, b: jnp.where(accept, a, b),
                                 rjac_new, rjac)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return R, t, jnp.clip(lam, 1e-9, 1e6), rjac
+            done = (accept & (jnp.max(jnp.abs(dx)) < 1e-5)) \
+                | ((~accept) & (lam >= 1e6))
+            return (i + 1, R, t, jnp.clip(lam, 1e-9, 1e6), rjac, done)
 
-        R, t, _, rjac = jax.lax.fori_loop(0, n_iters, body,
-                                          (R, t, jnp.float32(1e-3), rjac))
+        _, R, t, _, rjac, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), R, t, jnp.float32(1e-3), rjac, jnp.bool_(False)))
         # re-classify inliers at round end (reference: per-round chi2 gate)
         r, _, behind = rjac
         c2 = edge_chi2(r)
@@ -182,3 +200,47 @@ def pose_optimization(R0, t0, xw, uv, octave, valid, cam,
     return dict(R=R, t=t, inlier=inlier,
                 n_inliers=jnp.sum(inlier.astype(jnp.int32)),
                 chi2=jnp.sum(c2))
+
+
+def compact_rows(mask, M):
+    """Fixed-size compaction of the True rows of a boolean mask.
+
+    Returns (gather_idx (M,) in-range for jnp.take, scatter_idx (M,) =
+    row index for valid slots / N for padding (use mode='drop'),
+    sel_valid (M,) bool). Rows keep their original order; if more than M
+    rows are set, the extras are dropped. Pure O(N) scatter — no sort.
+    """
+    N = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, pos, M)
+    gather_idx = jnp.zeros((M,), jnp.int32).at[dest].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
+    count = jnp.sum(mask.astype(jnp.int32))
+    sel_valid = jnp.arange(M, dtype=jnp.int32) < count
+    scatter_idx = jnp.where(sel_valid, gather_idx, N)
+    return gather_idx, scatter_idx, sel_valid
+
+
+def pose_optimization_compact(R0, t0, xw, uv, octave, valid, cam, M,
+                              uv_right=None, **kw):
+    """pose_optimization over only the `valid` rows, compacted to a
+    fixed size M before the LM loops.
+
+    The padded observation arrays at the call sites (4096-slot landmark
+    bundles, 1024-slot keypoint sets) carry mostly invalid rows; the LM
+    iteration cost is linear in the row count, so compacting to the
+    realistic match count (M = 512-1024) cuts the dominant device cost
+    of per-frame tracking ~4x. Results are identical up to dropped rows
+    beyond M. Returns the same dict with `inlier` scattered back to the
+    full row space.
+    """
+    N = xw.shape[0]
+    gi, si, sel = compact_rows(valid, M)
+    res = pose_optimization(
+        R0, t0, jnp.take(xw, gi, axis=0), jnp.take(uv, gi, axis=0),
+        jnp.take(octave, gi, axis=0), sel, cam,
+        uv_right=None if uv_right is None
+        else jnp.take(uv_right, gi, axis=0), **kw)
+    inlier = jnp.zeros((N,), bool).at[si].set(
+        res["inlier"] & sel, mode="drop")
+    return dict(res, inlier=inlier)

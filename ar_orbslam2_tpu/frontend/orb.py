@@ -236,7 +236,12 @@ BRIEF_HALF = 18   # max |rotated offset| = ceil(13 * sqrt(2)) — patch bound
 def brief_descriptors(blur_f, ys, xs, angles_deg):
     """Rotated 256-pair BRIEF bits. Parity: computeOrbDescriptor
     (src/ORBextractor.cc:≈110): sample offsets (x,y) rotate to
-    (x cosθ - y sinθ, x sinθ + y cosθ), rounded, compared a < b."""
+    (x cosθ - y sinθ, x sinθ + y cosθ), rounded, compared a < b.
+
+    Samples gather DIRECTLY from the flattened blurred image at absolute
+    coordinates (one (N, 256) gather per pattern arm) — the earlier
+    patch-materialize + take_along_axis path moved 1369 px/keypoint and
+    was the single most expensive fusion of the extraction trace."""
     pat = _pattern()
     th = jnp.radians(angles_deg)
     ca, sa = jnp.cos(th), jnp.sin(th)           # (N,)
@@ -249,13 +254,14 @@ def brief_descriptors(blur_f, ys, xs, angles_deg):
 
     ra, ca_ = rot(xa, ya)                        # (N, 256)
     rb, cb_ = rot(xb, yb)
-    patches = _gather_patches(blur_f, ys, xs, BRIEF_HALF)  # (N, 37, 37)
-    flat = patches.reshape(patches.shape[0], -1)
-    size = 2 * BRIEF_HALF + 1
+    h, w = blur_f.shape
+    flat = blur_f.reshape(-1)
 
     def sample(rows, cols):
-        idx = (rows + BRIEF_HALF) * size + (cols + BRIEF_HALF)
-        return jnp.take_along_axis(flat, idx, axis=1)
+        # clamp == the old dynamic_slice clamping at image borders
+        r = jnp.clip(ys[:, None] + rows, 0, h - 1)
+        c = jnp.clip(xs[:, None] + cols, 0, w - 1)
+        return jnp.take(flat, r * w + c, mode="clip")
 
     return (sample(ra, ca_) < sample(rb, cb_)).astype(jnp.uint8)  # (N,256)
 

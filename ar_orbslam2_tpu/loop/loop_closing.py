@@ -83,6 +83,26 @@ def _search_by_sim3_kernel(cam, R12, t12, s12,
                             nn_ratio=1.0, mutual=False)
     return m12, m21
 
+@partial(jax.jit, static_argnames=())
+def _bf_match_kernel(signs1, live1, signs2, live2):
+    """Jitted brute-force match for ComputeSim3 — the eager call compiled
+    ~25 XLA ops one-by-one on the mapping worker mid-run (measured ~12 s
+    of first-use compiles + a ~25 ms dispatch RTT per op after)."""
+    return matcher.search_brute_force(signs1, live1, signs2, live2,
+                                      th=H.TH_LOW, nn_ratio=0.75)[0]
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def _project_loop_points_kernel(cam, Rcw_s, tcw, pos, signs, normal,
+                                dmin, dmax, valid, kp_uv, kp_signs,
+                                kp_oct, kp_valid):
+    """Jitted SearchByProjection(Scw) for the loop-closure total count."""
+    idx, visible, _ = matcher.search_local_points(
+        cam, Rcw_s, tcw, pos, signs, normal, dmin, dmax, valid,
+        kp_uv, kp_signs, kp_oct, kp_valid,
+        th_radius=10.0, th=H.TH_LOW, nn_ratio=1.0)
+    return idx
+
 
 class LoopCloser:
     def __init__(self, store, mapper, cam,
@@ -96,6 +116,7 @@ class LoopCloser:
         self.consistent_groups: list[tuple[set, int]] = []
         self.loops: list[dict] = []
         self._key = jax.random.PRNGKey(11)
+
         from ..mapping.background_gba import BackgroundGBA
         self.gba = BackgroundGBA(store, cam)
 
@@ -104,6 +125,49 @@ class LoopCloser:
         self.consistent_groups = []
         self.last_loop_kf = -self.cfg.min_kf_gap
         self.gba.abort()
+
+
+    # ------------------------------------------------------------------
+    def precompile(self):
+        """Compile every loop-detection kernel on DUMMY data.
+
+        The first real loop candidate otherwise pays ~60-90 s of XLA
+        compiles (sim3 RANSAC, SearchBySim3, projection top-up) on the
+        mapping worker — and a hard-KF barrier joining that worker
+        stalls tracking for the whole duration. Call once after system
+        warmup (bench does)."""
+        cfg, cam = self.cfg, self.cam
+        P = self.store.cfg.max_kp
+        signs = jnp.zeros((P, H.DESC_BITS), jnp.int8)
+        live = jnp.zeros(P, bool)
+        _bf_match_kernel(signs, live, signs, live)
+        Np = cfg.sim3_pad
+        z3 = jnp.zeros((Np, 3), jnp.float32)
+        z2 = jnp.zeros((Np, 2), jnp.float32)
+        zo = jnp.zeros(Np, jnp.int32)
+        zv = jnp.zeros(Np, bool)
+        self._key, k1 = jax.random.split(self._key)
+        r = sim3_ransac(cam, z3, z3, z2, z2, zo, zo, zv, k1,
+                        fix_scale=cfg.fix_scale)
+        _search_by_sim3_kernel(
+            cam, r["R12"], r["t12"], r["s12"],
+            jnp.zeros((P, 3), jnp.float32), signs, jnp.zeros(P, jnp.int32),
+            live, jnp.zeros((P, 2), jnp.float32),
+            jnp.zeros((P, 3), jnp.float32), signs, jnp.zeros(P, jnp.int32),
+            live, jnp.zeros((P, 2), jnp.float32),
+            scale_factor=cfg.scale_factor)
+        optimize_sim3(cam, r["R12"], r["t12"], r["s12"], z3, z3, z2, z2,
+                      zo, zo, zv, fix_scale=cfg.fix_scale)
+        L = cfg.max_loop_points
+        _project_loop_points_kernel(
+            cam, jnp.eye(3), jnp.zeros(3),
+            jnp.zeros((L, 3), jnp.float32),
+            jnp.zeros((L, H.DESC_BITS), jnp.int8),
+            jnp.zeros((L, 3), jnp.float32), jnp.zeros(L, jnp.float32),
+            jnp.ones(L, jnp.float32), jnp.zeros(L, bool),
+            jnp.zeros((P, 2), jnp.float32), signs,
+            jnp.zeros(P, jnp.int32), jnp.zeros(P, bool))
+        jax.block_until_ready(jnp.zeros(1))
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf: int) -> bool:
@@ -219,11 +283,9 @@ class LoopCloser:
         cfg, cam = self.cfg, self.cam
         b1 = self._kf_landmark_bundle(kf)       # current
         b2 = self._kf_landmark_bundle(cand)     # loop candidate
-        idx, _ = matcher.search_brute_force(
+        idx = np.asarray(_bf_match_kernel(
             b1["signs"], jnp.asarray(b1["live"]),
-            b2["signs"], jnp.asarray(b2["live"]),
-            th=H.TH_LOW, nn_ratio=0.75)
-        idx = np.asarray(idx)
+            b2["signs"], jnp.asarray(b2["live"])))
         rows = np.nonzero(idx >= 0)[0]
         if len(rows) < cfg.min_bow_matches:
             return None
@@ -270,15 +332,14 @@ class LoopCloser:
         tcw = s12 * (R12 @ s.kf_t[cand]) + t12
         # scale the world points' camera depth via s12: fold s into R,t by
         # projecting x_c = s12*R x + t -> use scaled pose (s*R, t)
-        idx, visible, _ = matcher.search_local_points(
+        idx = _project_loop_points_kernel(
             cam, jnp.asarray(s12 * Rcw, jnp.float32),
             jnp.asarray(tcw, jnp.float32),
             jnp.asarray(bundle["pos"]), signs, jnp.asarray(bundle["normal"]),
             jnp.asarray(bundle["dmin"]), jnp.asarray(bundle["dmax"]),
             jnp.asarray(bundle["valid"]),
             jnp.asarray(s.kf_uv[kf]), self.mapper.kf_signs(kf),
-            jnp.asarray(s.kf_octave[kf]), jnp.asarray(s.kf_kp_valid[kf]),
-            th_radius=10.0, th=H.TH_LOW, nn_ratio=1.0)
+            jnp.asarray(s.kf_octave[kf]), jnp.asarray(s.kf_kp_valid[kf]))
         self._loop_match = (np.asarray(idx), np.asarray(bundle["ids"]))
         return int((np.asarray(idx) >= 0).sum())
 
@@ -408,7 +469,11 @@ class LoopCloser:
                 if s.kf_valid[j]:
                     edges.add((min(i, int(j)), max(i, int(j))))
         edges = sorted(edges)
-        E = max(len(edges), 1)
+        # pad the edge axis to a power-of-two bucket: a fresh shape per
+        # loop event would mint a fresh XLA compile on the worker thread
+        E = 64
+        while E < len(edges):
+            E *= 2
         ei = np.zeros(E, np.int32)
         ej = np.zeros(E, np.int32)
         eR = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))

@@ -55,25 +55,26 @@ class VocabTensor:
         self.n_words = n_words
         self.signs = H.to_signs(bits)
 
-    @partial(jax.jit, static_argnames=("self",))
     def transform(self, desc_signs, valid):
         """Descriptors -> (word ids (N,), tf bow vector (W,) L1-normed).
 
         Parity: TemplatedVocabulary::transform producing BowVector (+ the
-        word ids double as the FeatureVector node ids).
+        word ids double as the FeatureVector node ids). The codebook is a
+        TRACED argument — a static-self jit recompiled on the mapping
+        worker whenever the vocabulary retrained (id-based hash).
         """
-        D = H.hamming_matrix(desc_signs, self.signs)
-        words = jnp.argmin(D, axis=1).astype(jnp.int32)
-        w = jnp.where(valid, 1.0, 0.0)
-        bow = jnp.zeros(self.n_words, jnp.float32).at[words].add(w)
-        bow = bow / jnp.maximum(bow.sum(), 1e-9)
-        return words, bow
+        return _transform_kernel(desc_signs, valid, self.signs)
 
-    def __hash__(self):           # static arg for jit
-        return id(self)
 
-    def __eq__(self, other):
-        return self is other
+@jax.jit
+def _transform_kernel(desc_signs, valid, vocab_signs):
+    D = H.hamming_matrix(desc_signs, vocab_signs)
+    words = jnp.argmin(D, axis=1).astype(jnp.int32)
+    n_words = vocab_signs.shape[0]
+    w = jnp.where(valid, 1.0, 0.0)
+    bow = jnp.zeros(n_words, jnp.float32).at[words].add(w)
+    bow = bow / jnp.maximum(bow.sum(), 1e-9)
+    return words, bow
 
 
 @jax.jit

@@ -18,15 +18,24 @@ from ..ops import hamming as H
 
 
 def assign_words(desc_signs, word_signs, chunk=8192):
-    """Nearest word per descriptor (Hamming argmin), chunked matmuls."""
+    """Nearest word per descriptor (Hamming argmin), chunked matmuls.
+
+    Chunks are PADDED to a fixed size so every call reuses one compiled
+    kernel (a ragged tail chunk would mint a fresh XLA compile per
+    training-set size — this runs on the live mapping worker)."""
     import jax.numpy as jnp
 
     out = []
     n = desc_signs.shape[0]
     for lo in range(0, n, chunk):
-        d = H.hamming_matrix(jnp.asarray(desc_signs[lo:lo + chunk]),
-                             word_signs)
-        out.append(np.asarray(jnp.argmin(d, axis=1)))
+        block = desc_signs[lo:lo + chunk]
+        pad = chunk - len(block)
+        if pad:
+            block = np.concatenate([block, np.zeros((pad,) + block.shape[1:],
+                                                    block.dtype)])
+        d = H.hamming_matrix(jnp.asarray(block), word_signs)
+        a = np.asarray(jnp.argmin(d, axis=1))
+        out.append(a[:len(a) - pad] if pad else a)
     return np.concatenate(out)
 
 
@@ -53,10 +62,19 @@ def train_codebook(desc_bits, n_words=4096, n_iters=6, seed=0):
     for _ in range(n_iters):
         w_signs = jnp.asarray(words.astype(np.int8) * 2 - 1)
         a = assign_words(signs, w_signs)
-        # per-word majority bit vote (the binary median)
+        # per-word majority bit vote (the binary median). Sort-based
+        # reduceat instead of np.add.at: add.at is an unbuffered scalar
+        # loop that HOLDS THE GIL for seconds at this size — training on
+        # the mapping worker froze the tracking thread mid-run (the r3
+        # bench's one 30 s frame).
+        order = np.argsort(a, kind="stable")
+        a_sorted = a[order]
+        starts = np.nonzero(np.r_[True, a_sorted[1:] != a_sorted[:-1]])[0]
+        seg_sums = np.add.reduceat(desc_bits[order].astype(np.int32),
+                                   starts, axis=0)
         sums = np.zeros((n_words, H.DESC_BITS), np.int32)
+        sums[a_sorted[starts]] = seg_sums
         counts = np.bincount(a, minlength=n_words)
-        np.add.at(sums, a, desc_bits.astype(np.int32))
         nz = counts > 0
         maj = np.zeros_like(words)
         maj[nz] = (2 * sums[nz] >= counts[nz, None]).astype(np.uint8)

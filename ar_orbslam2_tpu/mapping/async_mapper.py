@@ -40,9 +40,18 @@ class AsyncMapper:
 
     # ------------------------------------------------------------------
     def busy(self) -> bool:
-        """Parity: !AcceptKeyFrames — a mapping step is queued/running."""
+        """A mapping step is queued OR running."""
         with self._pending_lock:
             return self._pending > 0
+
+    def queue_idle(self) -> bool:
+        """Parity: LocalMapping::AcceptKeyFrames — the reference accepts
+        a new keyframe while the PREVIOUS step is still running (the
+        queue drains one behind); it only refuses when work is piling
+        up. Gating inserts on full idleness starved the keyframe cadence
+        whenever mapping overlapped tracking (measured: anchors frozen
+        for 60+ frames on the pipelined path)."""
+        return self._q.qsize() == 0
 
     def submit(self, kf: int):
         if self.error is not None:
@@ -50,6 +59,19 @@ class AsyncMapper:
         with self._pending_lock:
             self._pending += 1
         self._q.put(int(kf))
+
+    def submit_task(self, fn):
+        """Run an arbitrary callable on the mapping worker. The pipelined
+        tracking path uses this to defer the WHOLE keyframe event
+        (snapshot readback + store insert + mapping) off the tracking
+        thread: a materialize readback queues behind the in-flight chunk
+        and the mapper's own dispatches, and blocking the tracking thread
+        on it measured 830 ms median per keyframe."""
+        if self.error is not None:
+            raise RuntimeError("async mapper died") from self.error
+        with self._pending_lock:
+            self._pending += 1
+        self._q.put(fn)
 
     def join(self):
         """Drain the queue (parity: the Shutdown thread joins)."""
@@ -63,12 +85,15 @@ class AsyncMapper:
             kf = self._q.get()
             try:
                 if self.error is None:
-                    self.mapper.process_keyframe(kf)
-                    if self.loop_closer is not None:
-                        self.loop_closer.insert_keyframe(kf)
-                    elif self.relocalizer is not None and \
-                            self.relocalizer.kfdb is not None:
-                        self.relocalizer.kfdb.add(kf)
+                    if callable(kf):
+                        kf = kf()        # deferred insert -> kf id (or None)
+                    if kf is not None:
+                        self.mapper.process_keyframe(kf)
+                        if self.loop_closer is not None:
+                            self.loop_closer.insert_keyframe(kf)
+                        elif self.relocalizer is not None and \
+                                self.relocalizer.kfdb is not None:
+                            self.relocalizer.kfdb.add(kf)
                     self.n_processed += 1
             except BaseException as e:          # surface on next submit/join
                 self.error = e

@@ -20,7 +20,7 @@ def _bucket(n, lo=16):
     return b
 
 
-def gather_global(store):
+def gather_global(store, obs_bucket=16):
     """Pack the whole map into the fixed-shape BA problem."""
     s = store
     kf_ids = s.keyframe_ids()
@@ -46,12 +46,11 @@ def gather_global(store):
 
     slot_of = np.full(s.cfg.max_keyframes, -1, np.int64)
     slot_of[kf_ids] = np.arange(len(kf_ids))
-    # trim the prefix-compacted observation axis to a bucketed actual
-    # max (same rationale as gather_local_window — BA cost is linear
-    # in the observation slots)
-    from .local_mapping import _bucket_obs
-    n_obs_max = int(s.mp_nobs[selp].max(initial=1))
-    O = min(O, _bucket_obs(n_obs_max))
+    # trim the prefix-compacted observation axis to a FIXED width (same
+    # rationale as gather_local_window: BA cost is linear in the
+    # observation slots, and a fixed width avoids minting new compiled
+    # shapes as the map matures)
+    O = min(O, obs_bucket)
     okf = s.mp_obs_kf[selp, :O]
     oft = np.maximum(s.mp_obs_feat[selp, :O], 0)
     obs_cam = np.where(okf >= 0, slot_of[np.maximum(okf, 0)], -1)

@@ -43,11 +43,14 @@ def _batched_triangulation(cam, R1, t1, uv1, signs1, oct1, ang1, free1,
     padded neighbors in one dispatch. nbs: stacked (N, ...) arrays.
     Returns (idx (N,P), xw (N,P,3), good (N,P))."""
 
+    signs1 = H.signs_from_packed(signs1)
+
     def body(carry, nb):
         idx, _ = tri.epipolar_search(
             cam, R1, t1, nb["R"], nb["t"],
             uv1, signs1, oct1, free1,
-            nb["uv"], nb["signs"], nb["oct"], nb["free"],
+            nb["uv"], H.signs_from_packed(nb["desc"]), nb["oct"],
+            nb["free"],
             angles1=ang1, angles2=nb["ang"], scale_factor=scale_factor)
         out = tri.triangulate_candidates(
             cam, R1, t1, nb["R"], nb["t"],
@@ -66,10 +69,13 @@ def _batched_fuse(cam, pos, signs, normal, dmin, dmax, valid, tgts,
     keyframes in one dispatch. tgts: stacked (T, ...) arrays.
     Returns idx (T, L) — matched keypoint per landmark per target."""
 
+    signs = H.signs_from_packed(signs)
+
     def body(carry, tg):
         idx, _, _ = matcher.search_local_points(
             cam, tg["R"], tg["t"], pos, signs, normal, dmin, dmax, valid,
-            tg["uv"], tg["signs"], tg["oct"], tg["kp_valid"],
+            tg["uv"], H.signs_from_packed(tg["desc"]), tg["oct"],
+            tg["kp_valid"],
             th_radius=radius, th=H.TH_LOW, nn_ratio=1.0,
             n_levels=n_levels, scale_factor=scale_factor)
         return carry, jnp.where(tg["valid"], idx, -1)
@@ -80,7 +86,13 @@ def _batched_fuse(cam, pos, signs, normal, dmin, dmax, valid, tgts,
 
 def _bucket_obs(n):
     """Round an observation count up to a small bucket so the BA kernel
-    compiles for a handful of shapes, not one per keyframe."""
+    compiles for a handful of shapes, not one per keyframe.
+
+    NOTE (r4): the LIVE local/global BA paths no longer use this ladder
+    — a new bucket first appearing mid-run minted a fresh XLA compile in
+    the steady state (the 30 s stall in BENCH_r03); they pin the
+    observation axis to a single config value instead. Kept for shape
+    studies/tests."""
     for b in (8, 16, 24, 32):
         if n <= b:
             return b
@@ -88,10 +100,9 @@ def _bucket_obs(n):
 
 
 def _bundle_signs(b):
-    """gather_map_points bundle -> upload form (packed desc -> ±1 signs)."""
-    bits = np.unpackbits(np.asarray(b["desc"], np.uint8), axis=-1,
-                         bitorder="little")
-    return dict(pos=b["pos"], signs=bits.astype(np.int8) * 2 - 1,
+    """gather_map_points bundle -> upload form. Descriptors stay PACKED
+    (8x smaller upload); the jitted kernels expand them on device."""
+    return dict(pos=b["pos"], signs=np.asarray(b["desc"], np.uint8),
                 normal=b["normal"], dmin=b["dmin"], dmax=b["dmax"],
                 valid=b["valid"])
 
@@ -102,7 +113,15 @@ class LocalMapperConfig:
     n_fuse_neighbors: int = 10            # first-order fuse targets
     ba_max_local_kf: int = 12             # local (optimized) keyframes
     ba_max_fixed_kf: int = 12             # boundary (fixed) keyframes
-    ba_max_points: int = 4096
+    # 2048 covers the realistic live local window (maps run ~1-2k
+    # landmarks); halving the padded axis halves the BA device time
+    ba_max_points: int = 2048
+    # FIXED observation-axis width for the local-BA kernel: one compiled
+    # shape for the whole run (growth-driven shape ladders recompile in
+    # the steady state). Observations beyond the first `ba_obs_bucket`
+    # slots of a landmark are simply not re-optimized this round; the
+    # store still keeps all max_obs of them.
+    ba_obs_bucket: int = 16
     ba_iters_1: int = 5
     ba_iters_2: int = 10
     scale_factor: float = 1.2
@@ -233,12 +252,11 @@ class LocalMapper:
         free2 = s.kf_kp_valid[nb_arr] & (s.kf_mp[nb_arr] < 0)
         nbs = dict(R=s.kf_R[nb_arr], t=s.kf_t[nb_arr],
                    uv=s.kf_uv[nb_arr],
-                   signs=self._stacked_signs(nb_arr),
+                   desc=self._stacked_packed(nb_arr),
                    oct=s.kf_octave[nb_arr], ang=s.kf_angle[nb_arr],
                    free=free2, valid=nb_valid)
         host_in = dict(R1=R1, t1=t1, uv1=s.kf_uv[kf],
-                       signs1=np.asarray(H.unpack_bits(s.kf_desc[kf]),
-                                         np.int8) * 2 - 1,
+                       signs1=s.kf_desc[kf],
                        oct1=s.kf_octave[kf], ang1=s.kf_angle[kf],
                        free1=s.kf_kp_valid[kf] & (s.kf_mp[kf] < 0),
                        nbs=nbs)
@@ -276,12 +294,12 @@ class LocalMapper:
                 s.update_connections(kf)
         return n_created
 
-    def _stacked_signs(self, kf_arr):
-        """(K, P, 256) ±1 int8 for a batch of keyframes (host unpack —
-        goes to device as part of the single batched upload)."""
-        descs = self.store.kf_desc[kf_arr]             # (K, P, 32)
-        bits = np.unpackbits(descs, axis=-1, bitorder="little")
-        return bits.astype(np.int8) * 2 - 1
+    def _stacked_packed(self, kf_arr):
+        """(K, P, 32) PACKED descriptors for a batch of keyframes — the
+        device kernels unpack inside their jit. The old host unpack +
+        (K, P, 256) upload was the dominant cost of the triangulation
+        and fuse stages (measured 100-130 ms per keyframe)."""
+        return self.store.kf_desc[kf_arr]             # (K, P, 32)
 
     # ------------------------------------------------------------------
     def search_in_neighbors(self, kf: int):
@@ -321,12 +339,12 @@ class LocalMapper:
         host_in = dict(
             tgts=dict(R=s.kf_R[tgt_arr], t=s.kf_t[tgt_arr],
                       uv=s.kf_uv[tgt_arr],
-                      signs=self._stacked_signs(tgt_arr),
+                      desc=self._stacked_packed(tgt_arr),
                       oct=s.kf_octave[tgt_arr],
                       kp_valid=s.kf_kp_valid[tgt_arr], valid=tgt_valid),
             cur=dict(R=s.kf_R[kf][None], t=s.kf_t[kf][None],
                      uv=s.kf_uv[kf][None],
-                     signs=self._stacked_signs(np.asarray([kf])),
+                     desc=self._stacked_packed(np.asarray([kf])),
                      oct=s.kf_octave[kf][None],
                      kp_valid=s.kf_kp_valid[kf][None],
                      valid=np.ones(1, bool)),
@@ -366,23 +384,40 @@ class LocalMapper:
             self._apply_fuse_locked(idx, ids, target_kf)
 
     def _apply_fuse_locked(self, idx, ids, target_kf):
+        """Vectorized host merge: the free-keypoint bindings (the common
+        case, hundreds per fuse) go through ONE batched add_observations;
+        only genuine merges (existing binding, usually a handful) walk the
+        per-landmark replace path. The per-row python loop here was a
+        measurable slice of the mapping worker's host time."""
         s = self.store
-        for row in np.nonzero(idx >= 0)[0]:
-            mp = int(ids[row])
-            if mp < 0 or not s.mp_valid[mp]:
+        rows = np.nonzero(idx >= 0)[0]
+        if len(rows) == 0:
+            return
+        mp = ids[rows]
+        live = (mp >= 0) & s.mp_valid[np.maximum(mp, 0)]
+        rows, mp = rows[live], mp[live]
+        feat = idx[rows].astype(np.int64)
+        bound = s.kf_mp[target_kf, feat]
+        same = bound == mp
+        rows, mp, feat, bound = (rows[~same], mp[~same], feat[~same],
+                                 bound[~same])
+        has_bound = (bound >= 0) & s.mp_valid[np.maximum(bound, 0)]
+        # free keypoints: batched bind (first landmark per keypoint wins,
+        # matching the sequential loop's first-come discipline)
+        f_feat = feat[~has_bound]
+        f_mp = mp[~has_bound]
+        if len(f_feat):
+            uniq, first = np.unique(f_feat, return_index=True)
+            s.add_observations(f_mp[first], target_kf, uniq)
+        # occupied keypoints: merge, keep the landmark with more observers
+        for m, b in zip(mp[has_bound], bound[has_bound]):
+            m, b = int(m), int(b)
+            if not (s.mp_valid[m] and s.mp_valid[b]) or m == b:
                 continue
-            feat = int(idx[row])
-            bound = int(s.kf_mp[target_kf, feat])
-            if bound == mp:
-                continue
-            if bound >= 0 and s.mp_valid[bound]:
-                # merge: keep the landmark with more observers
-                if s.mp_nobs[bound] >= s.mp_nobs[mp]:
-                    s.replace_map_point(mp, bound)
-                else:
-                    s.replace_map_point(bound, mp)
+            if s.mp_nobs[b] >= s.mp_nobs[m]:
+                s.replace_map_point(m, b)
             else:
-                s.add_observation(mp, target_kf, feat)
+                s.replace_map_point(b, m)
 
     # ------------------------------------------------------------------
     def gather_local_window(self, kf: int):
@@ -430,14 +465,14 @@ class LocalMapper:
         pt_valid = mp_arr >= 0
 
         # map observation KF ids -> window slots. Observation slots are
-        # prefix-compacted (first nobs entries valid), so the table can
-        # be TRIMMED to a bucketed actual maximum — BA cost scales
-        # linearly with the observation axis, and the padded max_obs=48
-        # is 3-5x the realistic per-landmark count.
+        # prefix-compacted (first nobs entries valid), so the table is
+        # TRIMMED to a FIXED width (cfg.ba_obs_bucket) — BA cost scales
+        # linearly with the observation axis, and a fixed width keeps
+        # exactly ONE compiled kernel for the whole run (a growth-driven
+        # bucket ladder recompiled mid-bench in r3).
         slot_of = np.full(s.cfg.max_keyframes, -1, np.int64)
         slot_of[np.asarray(window, np.int64)] = np.arange(len(window))
-        n_obs_max = int(s.mp_nobs[selp].max(initial=1))
-        O = min(O, _bucket_obs(n_obs_max))
+        O = min(O, cfg.ba_obs_bucket)
         okf = s.mp_obs_kf[selp, :O]                 # (P, O)
         oft = np.maximum(s.mp_obs_feat[selp, :O], 0)
         obs_cam = np.where(okf >= 0, slot_of[np.maximum(okf, 0)], -1)
@@ -510,8 +545,15 @@ class LocalMapper:
         """Parity: LocalMapping::KeyFrameCulling — erase local KFs whose
         landmarks are >=90% seen by >=3 other KFs at same/finer scale."""
         s, cfg = self.store, self.cfg
+        newest = s.next_kf - 1
         for cand in [int(k) for k in s.covisible_keyframes(kf)]:
             if cand == 0 or cand == kf:
+                continue
+            # never cull the freshest keyframes: their triangulated
+            # points carry the only forward coverage, and culling them
+            # re-triggers the decline that created them (measured churn:
+            # 65 created / 9 surviving in one 120-frame window)
+            if cand >= newest - 2:
                 continue
             feats = np.nonzero(s.kf_mp[cand] >= 0)[0]
             if len(feats) == 0:

@@ -42,9 +42,39 @@ def unpack_bits(packed):
     return np.unpackbits(packed, axis=-1, bitorder="little")
 
 
+def pack_bits_device(bits):
+    """Device-side pack: (..., 256) {0,1} -> (..., 32) uint8, LSB-first —
+    same byte layout as pack_bits/unpack_bits. Used to shrink snapshot
+    readbacks 8x (the transport reads back at ~30 MB/s)."""
+    b = jnp.asarray(bits, jnp.int32).reshape(bits.shape[:-1]
+                                             + (DESC_BYTES, 8))
+    w = jnp.left_shift(jnp.int32(1), jnp.arange(8, dtype=jnp.int32))
+    return jnp.sum(b * w, axis=-1).astype(jnp.uint8)
+
+
 def to_signs(bits):
     """{0,1} bits -> ±1 int8 (device format)."""
     return (jnp.asarray(bits, jnp.int8) * 2 - 1).astype(jnp.int8)
+
+
+def unpack_bits_device(packed):
+    """Device-side unpack: (..., 32) uint8 -> (..., 256) {0,1} uint8,
+    LSB-first (same layout as unpack_bits). Lets callers upload PACKED
+    descriptors (8x smaller) and expand on device inside a jit."""
+    p = jnp.asarray(packed, jnp.uint8)
+    w = jnp.arange(8, dtype=jnp.uint8)
+    bits = jnp.bitwise_and(
+        jnp.right_shift(p[..., :, None], w), jnp.uint8(1))
+    return bits.reshape(p.shape[:-1] + (DESC_BITS,))
+
+
+def signs_from_packed(packed):
+    """Packed (..., 32) uint8 descriptors -> ±1 int8 signs, on device.
+    Trace-safe (pure jnp) — call inside a jit or via signs_from_packed_jit."""
+    return (unpack_bits_device(packed).astype(jnp.int8) * 2 - 1)
+
+
+signs_from_packed_jit = jax.jit(signs_from_packed)
 
 
 def hamming_matrix(signs_a, signs_b, valid_a=None, valid_b=None,

@@ -34,6 +34,7 @@ Parity map (same gates/thresholds as the reference):
 """
 from __future__ import annotations
 
+import threading
 from functools import partial
 
 import jax
@@ -41,9 +42,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import camera as cam_mod
-from ..estimation.pose_opt import pose_optimization
+from ..estimation.pose_opt import (pose_optimization,
+                                   pose_optimization_compact)
 from ..matching import matcher
 from ..ops import hamming as H
+
+# fixed compaction sizes for the per-frame pose LM (see
+# pose_optimization_compact): matches can never exceed the keypoint
+# budget (1024), and motion-model matches are far fewer in practice
+_M_MOTION = 512
+_M_LOCAL = 1024
 
 
 def make_state(bundle: dict, prev_slot, prev_oct, prev_R, prev_t,
@@ -57,7 +65,7 @@ def make_state(bundle: dict, prev_slot, prev_oct, prev_R, prev_t,
     L = bundle["pos"].shape[0]
     return dict(
         lm_pos=np.asarray(bundle["pos"], np.float32),
-        lm_signs=np.asarray(bundle["signs"], np.int8),
+        lm_desc=np.asarray(bundle["desc_packed"], np.uint8),
         lm_normal=np.asarray(bundle["normal"], np.float32),
         lm_dmin=np.asarray(bundle["dmin"], np.float32),
         lm_dmax=np.asarray(bundle["dmax"], np.float32),
@@ -77,6 +85,22 @@ def make_state(bundle: dict, prev_slot, prev_oct, prev_R, prev_t,
         kp_valid=np.asarray(kp_template["valid"], bool),
         kp_angle=np.asarray(kp_template["angle"], np.float32),
     )
+
+
+@jax.jit
+def _snap_slice(snaps, j):
+    """One frame's snapshot slices as a single pre-compilable dispatch."""
+    return dict(uv=snaps["uv"][j], desc=snaps["desc"][j],
+                oct=snaps["oct"][j], valid=snaps["valid"][j],
+                angle=snaps["angle"][j], slot=snaps["slot"][j],
+                R=snaps["R"][j], t=snaps["t"][j])
+
+
+@jax.jit
+def _expand_state(state):
+    """Materialize the ±1 sign matrix from the packed descriptors after
+    the single batched state upload (256 KB packed vs 1 MB unpacked)."""
+    return dict(state, lm_signs=H.signs_from_packed(state["lm_desc"]))
 
 
 def _megastep_core(cam, state, uv, desc_bits, octave, valid, angle,
@@ -109,8 +133,9 @@ def _megastep_core(cam, state, uv, desc_bits, octave, valid, angle,
         state["prev_oct"], pvalid, uv, signs, octave, valid)
     m_matched = m_idx >= 0
     mj = jnp.maximum(m_idx, 0)
-    m_res = pose_optimization(R_pred, t_pred, lm_pos[slot0], uv[mj],
-                              octave[mj], m_matched, cam)
+    m_res = pose_optimization_compact(
+        R_pred, t_pred, lm_pos[slot0], uv[mj], octave[mj], m_matched,
+        cam, _M_MOTION)
     m_inl = jnp.sum((m_res["inlier"] & m_matched).astype(jnp.int32))
     m_nm = jnp.sum(m_matched.astype(jnp.int32))
     motion_ok = ((m_nm >= min_track_matches) & (m_inl >= min_inliers_track)
@@ -125,8 +150,9 @@ def _megastep_core(cam, state, uv, desc_bits, octave, valid, angle,
             lm_signs, lm_valid, signs, valid, th=H.TH_LOW, nn_ratio=0.75)
         f_matched = f_idx >= 0
         fj = jnp.maximum(f_idx, 0)
-        f_res = pose_optimization(prev_R, prev_t, lm_pos, uv[fj],
-                                  octave[fj], f_matched, cam)
+        f_res = pose_optimization_compact(prev_R, prev_t, lm_pos, uv[fj],
+                                          octave[fj], f_matched, cam,
+                                          _M_LOCAL)
         f_inl = jnp.sum((f_res["inlier"] & f_matched).astype(jnp.int32))
         f_nm = jnp.sum(f_matched.astype(jnp.int32))
         return f_res["R"], f_res["t"], f_inl, f_nm
@@ -150,8 +176,8 @@ def _megastep_core(cam, state, uv, desc_bits, octave, valid, angle,
         n_levels=n_levels, scale_factor=scale_factor)
     l_matched = l_idx >= 0
     lj = jnp.maximum(l_idx, 0)
-    l_res = pose_optimization(R1, t1, lm_pos, uv[lj], octave[lj],
-                              l_matched, cam)
+    l_res = pose_optimization_compact(R1, t1, lm_pos, uv[lj], octave[lj],
+                                      l_matched, cam, _M_LOCAL)
     l_inlier = l_res["inlier"] & l_matched
     n_local_inl = jnp.sum(l_inlier.astype(jnp.int32))
     R2, t2 = l_res["R"], l_res["t"]
@@ -245,8 +271,9 @@ def track_chunk(cam, orb_cfg, state, images,
             min_inliers_track=min_inliers_track, undistort=undistort)
         # per-frame feature/binding snapshot: stays on DEVICE; the host
         # fetches exactly one frame's slices if the keyframe decision
-        # fires mid-chunk (adaptive chunk consumption)
-        snap = dict(uv=st2["kp_uv"], desc=st2["kp_desc"],
+        # fires mid-chunk. Descriptors are bit-packed (8x smaller) so
+        # the materialize readback rides the slow downlink cheaply.
+        snap = dict(uv=st2["kp_uv"], desc=H.pack_bits_device(st2["kp_desc"]),
                     oct=st2["kp_oct"], valid=st2["kp_valid"],
                     angle=st2["kp_angle"], slot=st2["prev_slot"],
                     R=st2["prev_R"], t=st2["prev_t"])
@@ -254,6 +281,38 @@ def track_chunk(cam, orb_cfg, state, images,
 
     state, (recs, snaps) = jax.lax.scan(body, state, images)
     return state, recs, snaps
+
+
+@jax.jit
+def _refresh_step(state, bundle, remap, aRo, ato, aRn, atn):
+    """Device-side bundle swap: remap the previous frame's slot bindings
+    into the NEW bundle, rigidly re-anchor the tracked pose from the old
+    anchor-KF pose to its current (post-BA) pose, and carry the visit
+    counters across the slot permutation. One chained dispatch — zero
+    readbacks, so a pipelined chunk in flight is never drained."""
+    L = bundle["pos"].shape[0]
+    slot = state["prev_slot"]
+    ok = slot >= 0
+    new_slot = jnp.where(ok, remap[jnp.maximum(slot, 0)], -1)
+    # rigid world-frame hand-off: T_prev' = T_rel * T_anchor_new,
+    # T_rel = T_prev * T_anchor_old^-1
+    R_cr = state["prev_R"] @ aRo.T
+    prev_R = R_cr @ aRn
+    prev_t = R_cr @ atn + (state["prev_t"] - R_cr @ ato)
+    # counters follow their landmark to its new slot (drop if evicted)
+    dest = jnp.where(remap >= 0, remap, L)
+    acc_v = jnp.zeros(L, jnp.int32).at[dest].add(state["acc_visible"],
+                                                 mode="drop")
+    acc_f = jnp.zeros(L, jnp.int32).at[dest].add(state["acc_found"],
+                                                 mode="drop")
+    return dict(
+        state,
+        lm_pos=bundle["pos"], lm_desc=bundle["desc_packed"],
+        lm_signs=H.signs_from_packed(bundle["desc_packed"]),
+        lm_normal=bundle["normal"], lm_dmin=bundle["dmin"],
+        lm_dmax=bundle["dmax"], lm_valid=bundle["valid"],
+        prev_slot=new_slot, prev_R=prev_R, prev_t=prev_t,
+        acc_visible=acc_v, acc_found=acc_f)
 
 
 class FusedFrontend:
@@ -273,6 +332,15 @@ class FusedFrontend:
         self.bundle_ids = None  # (L,) np.int64 — slot -> mp id
         self.version = -1       # store.version the bundle was built at
         self.local_kf = None
+        self.anchor_kf = -1     # bundle anchor + its pose at snapshot time
+        self.anchor_R = None
+        self.anchor_t = None
+        self.rec_anchor = None  # anchor of the last COLLECTED chunk
+        self._bundle_epoch = 0  # bumped at every rebuild/refresh
+        self._counter_lock = threading.Lock()
+        L = cfg.n_local_mp
+        self._acc_base_vis = np.zeros(L, np.int32)
+        self._acc_base_fnd = np.zeros(L, np.int32)
 
     # ------------------------------------------------------------------
     def ready(self) -> bool:
@@ -297,6 +365,7 @@ class FusedFrontend:
         Returns the host record dict (scalars + pose numpy arrays).
         """
         cfg, cam = self.cfg, self.cam
+        self.rec_anchor = None      # per-frame path: live anchor applies
         self.state, record = track_megastep(
             cam, self.state, feats["uv"], feats["desc_bits"],
             feats["octave"], feats["valid"], feats["angle"],
@@ -309,19 +378,79 @@ class FusedFrontend:
         rec["t"] = np.asarray(rec["t"])
         return rec
 
-    def step_chunk(self, images_u8):
-        """Track a stack of frames in one dispatch (track_chunk); ONE
-        upload + ONE readback of the scalar records. Per-frame feature
-        snapshots stay on device (self._chunk_snaps) for mid-chunk
-        keyframe materialization."""
+    def dispatch_chunk(self, images_u8):
+        """Enqueue a chunk's tracking on the device WITHOUT waiting:
+        advances the device state and returns a (records, snaps, anchor)
+        handle. The upload is async (jax.device_put) and the dispatch
+        returns immediately, so the host can pipeline the next chunk /
+        process the previous one while the device computes. The handle
+        captures the bundle-anchor snapshot the chunk tracks against (a
+        device-side refresh may swap the live anchor before the chunk is
+        collected)."""
         cfg, cam = self.cfg, self.cam
-        self.state, records, self._chunk_snaps = track_chunk(
+        self.state, records, snaps = track_chunk(
             cam, self.orb_cfg, self.state, jnp.asarray(images_u8),
             scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
             min_track_matches=cfg.min_track_matches,
             min_inliers_track=cfg.min_inliers_track,
             undistort=cam.has_distortion)
-        return jax.device_get(records)
+        self._chunk_snaps = snaps
+        return (records, snaps,
+                (self.anchor_kf, self.anchor_R, self.anchor_t),
+                (self.state["acc_visible"], self.state["acc_found"]),
+                self._bundle_epoch)
+
+    def collect_chunk(self, handle):
+        """Block on a dispatch_chunk handle; returns host records,
+        re-points the snapshot buffer at that chunk, and exposes the
+        chunk's anchor snapshot as rec_anchor (for KF-relative records).
+        The post-chunk visit counters ride the SAME readback (readbacks
+        pay a ~24 ms floor each) and are folded into the store here —
+        unless a device-side refresh swapped the slot space since the
+        dispatch (the refresh remapped the live counters; these stale
+        ones are already accounted for)."""
+        records, snaps, anchor, acc_pair, epoch = handle
+        self._chunk_snaps = snaps
+        self.rec_anchor = anchor
+        recs, acc_v, acc_f = jax.device_get((records,) + tuple(acc_pair))
+        if epoch == self._bundle_epoch:
+            self._fold_counters(dict(acc_visible=acc_v, acc_found=acc_f))
+        return recs
+
+    def step_chunk(self, images_u8):
+        """Track a stack of frames in one dispatch (track_chunk); ONE
+        upload + ONE readback of the scalar records. Per-frame feature
+        snapshots stay on device (self._chunk_snaps) for mid-chunk
+        keyframe materialization."""
+        return self.collect_chunk(self.dispatch_chunk(images_u8))
+
+    def materialize_from(self, snaps, j, timestamp, frame_id, bundle_ids):
+        """Worker-thread materialization: build a Frame from an explicit
+        snapshot handle + the bundle-id table CAPTURED at decision time
+        (the live bundle may have been swapped by a refresh since). No
+        counter fold — collect_chunk already folds per chunk.
+
+        The slicing runs through a PRE-COMPILED jit (_snap_slice):
+        compiling eagerly on the mapping worker deadlocked against the
+        tracking thread's concurrent dispatch on the axon transport
+        (observed live: the worker wedged forever inside
+        backend_compile_and_load and the map stopped growing)."""
+        from .frame import Frame
+        got = jax.device_get(_snap_slice(snaps, j))
+        frame = Frame(uv=np.asarray(got["uv"]),
+                      desc_bits=H.unpack_bits(np.asarray(got["desc"])),
+                      octave=np.asarray(got["oct"]),
+                      valid=np.asarray(got["valid"]),
+                      angle=np.asarray(got["angle"]),
+                      timestamp=timestamp, frame_id=frame_id)
+        frame.set_pose(got["R"], got["t"])
+        slot = np.asarray(got["slot"])
+        bound = slot >= 0
+        mp = np.where(bound, bundle_ids[np.maximum(slot, 0)], -1)
+        mp = self.store.resolve_replacements(mp)
+        live = (mp >= 0) & self.store.mp_valid[np.maximum(mp, 0)]
+        frame.mp[:] = np.where(live, mp, -1)
+        return frame
 
     def materialize_chunk_frame(self, j, timestamp, frame_id):
         """Materialize frame j of the last chunk (ONE batched readback of
@@ -336,7 +465,7 @@ class FusedFrontend:
             acc_found=self.state["acc_found"]))
         self._fold_counters(got)
         frame = Frame(uv=np.asarray(got["uv"]),
-                      desc_bits=np.asarray(got["desc"]),
+                      desc_bits=H.unpack_bits(np.asarray(got["desc"])),
                       octave=np.asarray(got["oct"]),
                       valid=np.asarray(got["valid"]),
                       angle=np.asarray(got["angle"]),
@@ -356,14 +485,15 @@ class FusedFrontend:
         from .frame import Frame
         st = self.state
         got = jax.device_get(dict(
-            uv=st["kp_uv"], desc=st["kp_desc"], oct=st["kp_oct"],
+            uv=st["kp_uv"], desc=H.pack_bits_device(st["kp_desc"]),
+            oct=st["kp_oct"],
             valid=st["kp_valid"], angle=st["kp_angle"],
             slot=st["prev_slot"], R=st["prev_R"], t=st["prev_t"],
             vel_R=st["vel_R"], vel_t=st["vel_t"],
             acc_visible=st["acc_visible"], acc_found=st["acc_found"]))
         self._fold_counters(got)
         frame = Frame(uv=np.asarray(got["uv"]),
-                      desc_bits=np.asarray(got["desc"]),
+                      desc_bits=H.unpack_bits(np.asarray(got["desc"])),
                       octave=np.asarray(got["oct"]),
                       valid=np.asarray(got["valid"]),
                       angle=np.asarray(got["angle"]),
@@ -378,11 +508,19 @@ class FusedFrontend:
         self._vel = (np.asarray(got["vel_R"]), np.asarray(got["vel_t"]))
         return frame
 
-    def refresh_bundle(self, anchor_kf: int):
+    def refresh_bundle(self, anchor_kf: int, rel_pose=None):
         """Re-anchor the device bundle to the CURRENT map after an async
         mapping/loop step finished (store.version changed while tracking
         kept riding the old immutable bundle snapshot — the reference's
-        tracking/mapping thread hand-off). ONE readback + ONE upload."""
+        tracking/mapping thread hand-off). ONE readback + ONE upload.
+
+        rel_pose: optional (R_cr, t_cr, ref_kf) of the LAST tracked frame
+        relative to its reference keyframe at record time. When given,
+        the tracked pose is RE-ANCHORED to the reference KF's current
+        (post-BA) pose — Tracking::UpdateLastFrame parity. Without it the
+        stale-tracked pose meets BA-refined landmarks in a different
+        frame and the drift accumulates across every mapping hand-off
+        (measured: 40x worse ATE on the async path)."""
         st = self.state
         got = jax.device_get(dict(
             slot=st["prev_slot"], R=st["prev_R"], t=st["prev_t"],
@@ -395,26 +533,94 @@ class FusedFrontend:
         mp = self.store.resolve_replacements(mp)
         vel = (np.asarray(got["vel_R"]), np.asarray(got["vel_t"])) \
             if bool(got["have_vel"]) else None
-        self.rebuild(anchor_kf, mp, np.asarray(got["R"]),
-                     np.asarray(got["t"]), velocity=vel,
+        prev_R, prev_t = np.asarray(got["R"]), np.asarray(got["t"])
+        if rel_pose is not None:
+            R_cr, t_cr, ref = rel_pose
+            if ref >= 0 and self.store.kf_valid[ref]:
+                prev_R = (R_cr @ self.store.kf_R[ref]).astype(np.float32)
+                prev_t = (R_cr @ self.store.kf_t[ref]
+                          + t_cr).astype(np.float32)
+        self.rebuild(anchor_kf, mp, prev_R, prev_t, velocity=vel,
                      prev_oct=np.asarray(got["oct"]))
 
+    def refresh_bundle_device(self, anchor_kf: int):
+        """Pipelined bundle refresh: swap the device bundle to the
+        CURRENT map WITHOUT reading anything back — a host gather + ONE
+        chained dispatch (_refresh_step). Because nothing blocks, the
+        caller may have a chunk in flight: the refresh chains after it
+        and re-anchors THAT chunk's final pose/bindings, so tracking
+        continuity is exact even though the host never sees the state.
+
+        Caller must hold store.lock (consistent map snapshot vs the
+        async mapping worker)."""
+        s, cfg = self.store, self.cfg
+        L = cfg.n_local_mp
+        local = [anchor_kf] + [int(k) for k in s.covisible_keyframes(
+            anchor_kf, n_best=2 * cfg.n_local_kf - 1)]
+        mp_ids = s.local_map_points(np.asarray(local, np.int64))
+        bundle = s.gather_map_points(mp_ids, pad_to=L)
+        ids_new = np.asarray(bundle["ids"])
+        # old slot -> new slot through landmark-replacement forwarding
+        old_ids = s.resolve_replacements(self.bundle_ids)
+        pos_of = np.full(s.cfg.max_map_points, -1, np.int64)
+        live = ids_new >= 0
+        pos_of[ids_new[live]] = np.nonzero(live)[0]
+        remap = np.where(old_ids >= 0,
+                         pos_of[np.maximum(old_ids, 0)], -1).astype(np.int32)
+        host_bundle = dict(
+            pos=np.asarray(bundle["pos"], np.float32),
+            desc_packed=np.asarray(bundle["desc"], np.uint8),
+            normal=np.asarray(bundle["normal"], np.float32),
+            dmin=np.asarray(bundle["dmin"], np.float32),
+            dmax=np.asarray(bundle["dmax"], np.float32),
+            valid=np.asarray(bundle["valid"], bool))
+        aRn = s.kf_R[anchor_kf].astype(np.float32)
+        atn = s.kf_t[anchor_kf].astype(np.float32)
+        with self._counter_lock:
+            self.state = _refresh_step(
+                self.state, jax.device_put(host_bundle),
+                jnp.asarray(remap), jnp.asarray(self.anchor_R),
+                jnp.asarray(self.anchor_t), jnp.asarray(aRn),
+                jnp.asarray(atn))
+            # counter baselines follow the same slot permutation
+            for base in ("_acc_base_vis", "_acc_base_fnd"):
+                old = getattr(self, base)
+                new = np.zeros(L, np.int32)
+                ok = remap >= 0
+                np.add.at(new, remap[ok], old[ok])
+                setattr(self, base, new)
+            self._bundle_epoch += 1
+            self.bundle_ids = ids_new
+        self.version = s.version
+        self.local_kf = local
+        self.anchor_kf = int(anchor_kf)
+        self.anchor_R = aRn.copy()
+        self.anchor_t = atn.copy()
+
     def _fold_counters(self, got=None):
-        """Fold device visible/found accumulators into the MapStore."""
+        """Fold device visible/found accumulators into the MapStore.
+
+        Baseline-delta scheme: the device accumulators are NEVER reset
+        (resetting them raced with pipelined chunk dispatches that had
+        already consumed the pre-reset values); the host remembers the
+        totals it last folded and adds only the delta."""
         if self.state is None or self.bundle_ids is None:
             return
         if got is None:
             got = jax.device_get(dict(acc_visible=self.state["acc_visible"],
                                       acc_found=self.state["acc_found"]))
-        ids = self.bundle_ids
-        ok = ids >= 0
-        sel = ids[ok]
-        self.store.mp_visible[sel] += np.asarray(got["acc_visible"])[ok]
-        self.store.mp_found[sel] += np.asarray(got["acc_found"])[ok]
-        # zero them on device so a later fold doesn't double-count
-        L = self.state["acc_visible"].shape[0]
-        self.state["acc_visible"] = jnp.zeros(L, jnp.int32)
-        self.state["acc_found"] = jnp.zeros(L, jnp.int32)
+        with self._counter_lock:
+            vis = np.asarray(got["acc_visible"])
+            fnd = np.asarray(got["acc_found"])
+            ids = self.bundle_ids
+            ok = ids >= 0
+            sel = ids[ok]
+            dv = np.maximum(vis - self._acc_base_vis, 0)
+            df = np.maximum(fnd - self._acc_base_fnd, 0)
+            self.store.mp_visible[sel] += dv[ok]
+            self.store.mp_found[sel] += df[ok]
+            self._acc_base_vis = np.maximum(vis, self._acc_base_vis)
+            self._acc_base_fnd = np.maximum(fnd, self._acc_base_fnd)
 
     # ------------------------------------------------------------------
     def rebuild(self, anchor_kf: int, prev_mp, prev_R, prev_t,
@@ -433,15 +639,15 @@ class FusedFrontend:
         mp_ids = s.local_map_points(np.asarray(local, np.int64))
         bundle = s.gather_map_points(mp_ids, pad_to=cfg.n_local_mp)
         ids = np.asarray(bundle["ids"])
-        # slot lookup for prev bindings
-        slot_of = {}
-        for i, v in enumerate(ids):
-            if v >= 0:
-                slot_of[int(v)] = i
+        # slot lookup for prev bindings (vectorized — the python dict
+        # loop here cost ~ms per rebuild inside keyframe barriers)
+        pos_of = np.full(s.cfg.max_map_points, -1, np.int64)
+        live_ids = ids >= 0
+        pos_of[ids[live_ids]] = np.nonzero(live_ids)[0]
         prev_mp = np.asarray(prev_mp)
-        prev_slot = np.fromiter(
-            (slot_of.get(int(m), -1) for m in prev_mp),
-            np.int32, len(prev_mp))
+        prev_slot = np.where(prev_mp >= 0,
+                             pos_of[np.maximum(prev_mp, 0)],
+                             -1).astype(np.int32)
         if velocity is None:
             velocity = getattr(self, "_vel", None)
         have_vel = velocity is not None
@@ -450,11 +656,10 @@ class FusedFrontend:
         P = cfg.max_kp
         if prev_oct is None:
             prev_oct = s.kf_octave[anchor_kf]
-        # one batched upload of the whole state
+        # one batched upload of the whole state (descriptors packed)
         host_bundle = dict(
             pos=bundle["pos"],
-            signs=np.asarray(H.unpack_bits(bundle["desc"]),
-                             np.int8) * 2 - 1,
+            desc_packed=np.asarray(bundle["desc"], np.uint8),
             normal=bundle["normal"], dmin=bundle["dmin"],
             dmax=bundle["dmax"], valid=bundle["valid"])
         template = dict(uv=np.zeros((P, 2), np.float32),
@@ -466,7 +671,20 @@ class FusedFrontend:
             host_bundle, prev_slot, np.asarray(prev_oct, np.int32),
             np.asarray(prev_R, np.float32), np.asarray(prev_t, np.float32),
             vel_R, vel_t, have_vel, template)
-        self.state = jax.device_put(state_host)
+        self.state = _expand_state(jax.device_put(state_host))
         self.bundle_ids = ids
         self.version = s.version
         self.local_kf = local
+        # anchor pose AS OF THIS SNAPSHOT: poses tracked against this
+        # bundle live in ITS map frame; KF-relative records must use this
+        # pose, not the store's current one — async BA may move the
+        # anchor mid-bundle and mixing frames corrupts every relative
+        # pose recorded since (measured 40x ATE blowup on the async path)
+        self.anchor_kf = int(anchor_kf)
+        self.anchor_R = s.kf_R[anchor_kf].copy()
+        self.anchor_t = s.kf_t[anchor_kf].copy()
+        self.rec_anchor = None
+        self._bundle_epoch += 1
+        L = self.cfg.n_local_mp
+        self._acc_base_vis = np.zeros(L, np.int32)
+        self._acc_base_fnd = np.zeros(L, np.int32)

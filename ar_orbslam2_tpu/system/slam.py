@@ -198,12 +198,19 @@ class SlamSystem:
         OK-state stretches as fused device chunks (one dispatch + one
         readback per `chunk` frames — see system/fused.track_chunk).
         Initialization, relocalization, and keyframe events fall back to
-        the per-frame paths. Returns a list of Tcw (4x4) or None."""
+        the per-frame paths. Returns a list of Tcw (4x4) or None.
+
+        With async mapping the chunks are double-buffered: the next
+        chunk is dispatched BEFORE the previous one's records are read
+        back, so the device never idles between chunks and keyframe
+        events ride the pipeline instead of stalling it."""
         t = self.tracking
         fe = t.fused
         n = len(images)
         if timestamps is None:
             timestamps = [i / 30.0 for i in range(n)]
+        if fe is not None and t.async_mapper is not None:
+            return self._track_batch_pipelined(images, timestamps, chunk)
         poses: list = []
         am = t.async_mapper
         i = 0
@@ -223,7 +230,7 @@ class SlamSystem:
                         and self.store.kf_valid[t.ref_kf]:
                     # async mapping/loop finished: re-anchor the bundle
                     with self.store.lock:
-                        fe.refresh_bundle(t.ref_kf)
+                        fe.refresh_bundle(t.ref_kf, rel_pose=t.last_rel)
                 # a stale-but-usable bundle still tracks (the reference's
                 # tracking thread rides the old map while mapping runs)
                 if fe.state is not None:
@@ -246,6 +253,95 @@ class SlamSystem:
             poses.append(self.track_monocular(images[i],
                                               timestamp=timestamps[i]))
             i += 1
+        return poses
+
+    def _track_batch_pipelined(self, images, timestamps, chunk):
+        """Double-buffered chunk pipeline (async-mapping mode).
+
+        Invariants: at most one chunk in flight beyond the one being
+        processed; frame-id assignment advances at dispatch and REWINDS
+        on a mid-chunk tracking failure (the prefetched chunk's results
+        are discarded and its frames re-enter the per-frame path);
+        the device bundle refresh (after the mapper goes idle) drains
+        the pipeline first, since a dispatch already in flight rides the
+        old bundle."""
+        import time as _time
+        t = self.tracking
+        fe = t.fused
+        am = t.async_mapper
+        s = self.store
+        n = len(images)
+        poses: list = []
+        i = 0
+        pending = None      # (start_i, base_fid, count, handle, ts_slice)
+
+        def can_rebuild():
+            lf = t.last_frame
+            return (lf is not None and lf.R is not None and t.ref_kf >= 0
+                    and s.kf_valid[t.ref_kf])
+
+        while i < n or pending is not None:
+            if pending is None:
+                can = t.state == "OK" and n - i >= chunk
+                if can and fe.state is None and can_rebuild():
+                    lf = t.last_frame
+                    fe.rebuild(t.ref_kf, lf.mp, lf.R, lf.t,
+                               velocity=t.velocity, prev_oct=lf.octave)
+                    t._fused_prev_pose = (lf.R.copy(), lf.t.copy())
+                elif can and fe.state is not None and not fe.ready() \
+                        and t.ref_kf >= 0 and s.kf_valid[t.ref_kf]:
+                    with s.lock:
+                        fe.refresh_bundle_device(t.ref_kf)
+                if can and fe.state is not None:
+                    base = self._next_frame_id
+                    handle = fe.dispatch_chunk(np.stack(images[i:i + chunk]))
+                    self._next_frame_id = base + chunk
+                    pending = (i, base, chunk, handle,
+                               timestamps[i:i + chunk])
+                    i += chunk
+                    continue
+                poses.append(self.track_monocular(
+                    images[i], timestamp=timestamps[i]))
+                i += 1
+                continue
+
+            # prefetch the next chunk; a refresh never drains the
+            # pipeline — refresh_bundle_device chains AFTER the in-flight
+            # chunk and re-anchors its final state on device
+            nxt = None
+            if n - i >= chunk:
+                base = self._next_frame_id
+                handle = fe.dispatch_chunk(np.stack(images[i:i + chunk]))
+                self._next_frame_id = base + chunk
+                nxt = (i, base, chunk, handle, timestamps[i:i + chunk])
+                i += chunk
+
+            start_p, base_p, cnt_p, handle_p, ts_p = pending
+            t0 = _time.perf_counter()
+            recs = fe.collect_chunk(handle_p)
+            ms = (_time.perf_counter() - t0) * 1e3 / cnt_p
+            consumed = t.track_fused_chunk_async(
+                recs, ts_p, base_p, ms_per_frame=ms)
+            for c in range(consumed):
+                rec = t.metrics[-(consumed - c)]
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = rec["R"]
+                T[:3, 3] = rec["t"]
+                poses.append(T)
+            if consumed < cnt_p:
+                # tracking failed mid-chunk: discard the prefetched chunk
+                # (its device state mutations die with the rebuild) and
+                # re-enter the per-frame path at the failed frame
+                self._next_frame_id = base_p + consumed
+                i = start_p + consumed
+                pending = None
+                continue
+            # mapping wrote since this bundle was built: swap in the
+            # current map (device-side, chains after the in-flight chunk)
+            if not fe.ready() and t.ref_kf >= 0 and s.kf_valid[t.ref_kf]:
+                with s.lock:
+                    fe.refresh_bundle_device(t.ref_kf)
+            pending = nxt
         return poses
 
     def track_stereo(self, left_u8, right_u8, timestamp=0.0):
@@ -292,6 +388,83 @@ class SlamSystem:
             T[:3, 3] = frame.t
             return T
         return None
+
+    def precompile(self, n_frames=40):
+        """Compile every kernel the live system can hit, ON THE CALLING
+        THREAD, before real tracking starts.
+
+        Why: XLA compiles issued from the mapping worker / background-GBA
+        threads while the tracking thread streams dispatches were
+        observed (live, axon transport) to deadlock inside
+        backend_compile_and_load — the worker wedged forever and the map
+        stopped growing. After this runs, every jitted entry point is in
+        jax's in-process executable cache, so secondary threads only hit
+        the C++ fast path.
+
+        Strategy: drive a THROWAWAY synchronous twin system through a
+        short synthetic sequence (compiles the frontend, fused chunk +
+        per-frame megasteps, initializer, the whole mapping stage, and
+        trajectory bookkeeping on this thread), then touch the
+        remaining paths with dummy-shaped calls: the pipelined device
+        refresh, snapshot slicing, loop-closure kernels, vocabulary
+        assignment, pose graph, and global-BA shapes."""
+        import copy
+        import jax
+        import jax.numpy as jnp
+
+        from ..data import synthetic
+        from ..ops import hamming as H
+
+        cfg = copy.copy(self.cfg)
+        cfg.async_mapping = False
+        twin = SlamSystem(self.cam, cfg)
+        imgs, _, _ = synthetic.render_plane_sequence(
+            self.cam, n_frames=n_frames, seed=123, motion=0.45)
+        twin.track_monocular_batch(
+            list(imgs), timestamps=[i / 30.0 for i in range(n_frames)],
+            chunk=8)
+        # per-frame fused + legacy paths
+        twin.track_monocular(imgs[-1], timestamp=n_frames / 30.0)
+        fe = twin.tracking.fused
+        if fe is not None and fe.state is not None \
+                and twin.tracking.ref_kf >= 0:
+            with twin.store.lock:
+                fe.refresh_bundle_device(twin.tracking.ref_kf)
+            from .fused import _snap_slice
+            if getattr(fe, "_chunk_snaps", None) is not None:
+                jax.block_until_ready(_snap_slice(fe._chunk_snaps, 0))
+        if twin.tracking.loop_closer is not None:
+            twin.tracking.loop_closer.precompile()
+            # vocabulary self-training assignment shapes (worker-side)
+            from ..loop.vocab_train import assign_words
+            assign_words(np.zeros((1, H.DESC_BITS), np.int8),
+                         jnp.zeros((twin.tracking.loop_closer.kfdb.vocab
+                                    .n_words, H.DESC_BITS), jnp.int8))
+        # essential-graph + global-BA shapes (loop acceptance path runs
+        # them on the GBA thread)
+        try:
+            from ..mapping.global_ba import global_bundle_adjustment
+            global_bundle_adjustment(twin.store, twin.cam, n_iters=20)
+        except Exception:
+            pass
+        if twin.tracking.loop_closer is not None:
+            import jax.numpy as jnp
+            from ..estimation.pose_graph import optimize_essential_graph
+            K = twin.store.cfg.max_keyframes
+            E = 64                      # first edge-axis bucket
+            optimize_essential_graph(
+                jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                                    (K, 1, 1))),
+                jnp.zeros((K, 3), jnp.float32), jnp.ones(K, jnp.float32),
+                jnp.asarray(np.arange(K) < 2), jnp.asarray(np.arange(K) == 0),
+                jnp.zeros(E, jnp.int32), jnp.ones(E, jnp.int32),
+                jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                                    (E, 1, 1))),
+                jnp.zeros((E, 3), jnp.float32), jnp.ones(E, jnp.float32),
+                jnp.asarray(np.arange(E) < 1),
+                n_iters=20,
+                fix_scale=twin.tracking.loop_closer.cfg.fix_scale)
+        twin.shutdown()
 
     def activate_localization_mode(self):
         """Parity: System::ActivateLocalizationMode."""

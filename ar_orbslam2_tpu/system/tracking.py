@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core import lie
 from ..estimation.initializer import initialize_two_view
-from ..estimation.pose_opt import pose_optimization
+from ..estimation.pose_opt import pose_optimization_compact
 from ..matching import matcher
 from ..ops import hamming as H
 from .frame import Frame
@@ -71,8 +71,8 @@ def _motion_track(cam, R_pred, t_pred, lm_pos, lm_signs, lm_oct, lm_valid,
         kp_uv, kp_signs, kp_oct, kp_valid)
     matched = idx >= 0
     j = jnp.maximum(idx, 0)
-    res = pose_optimization(R_pred, t_pred, lm_pos, kp_uv[j],
-                            kp_oct[j], matched, cam)
+    res = pose_optimization_compact(R_pred, t_pred, lm_pos, kp_uv[j],
+                                    kp_oct[j], matched, cam, 512)
     inlier = res["inlier"] & matched
     return (res["R"], res["t"], jnp.sum(inlier.astype(jnp.int32)),
             jnp.sum(matched.astype(jnp.int32)),
@@ -89,8 +89,8 @@ def _bow_track(cam, R0, t0, lm_pos, lm_signs, lm_valid, lm_oct,
                                         th=H.TH_LOW, nn_ratio=0.75)
     matched = idx >= 0
     j = jnp.maximum(idx, 0)
-    res = pose_optimization(R0, t0, lm_pos, kp_uv[j], kp_oct[j],
-                            matched, cam)
+    res = pose_optimization_compact(R0, t0, lm_pos, kp_uv[j], kp_oct[j],
+                                    matched, cam, 1024)
     inlier = res["inlier"] & matched
     return (res["R"], res["t"], jnp.sum(inlier.astype(jnp.int32)),
             jnp.sum(matched.astype(jnp.int32)),
@@ -109,8 +109,8 @@ def _local_map_track(cam, R0, t0, mp_pos, mp_signs, mp_normal, mp_dmin,
         n_levels=n_levels, scale_factor=scale_factor)
     matched = idx >= 0
     j = jnp.maximum(idx, 0)
-    res = pose_optimization(R0, t0, mp_pos, kp_uv[j], kp_oct[j],
-                            matched, cam)
+    res = pose_optimization_compact(R0, t0, mp_pos, kp_uv[j], kp_oct[j],
+                                    matched, cam, 1024)
     inlier = res["inlier"] & matched
     return (res["R"], res["t"], jnp.sum(inlier.astype(jnp.int32)),
             jnp.where(inlier, idx, -1), visible, inlier)
@@ -166,6 +166,8 @@ class Tracking:
         self.last_reloc_frame_id = -1_000_000
         self.init_frame: Frame | None = None
         self.metrics: list[dict] = []
+        self.last_rel = None      # (R_cr, t_cr, ref_kf) of last OK frame
+        self._inl_peak = 0.0      # decaying inlier peak (decline detector)
         self.n_resets = 0
         self._dbg: dict = {}     # per-frame stage diagnostics -> metrics
         # device-resident local-map bundle cache: between keyframes the map
@@ -405,6 +407,221 @@ class Tracking:
                     (_time.perf_counter() - t1) * 1e3, 2)
         return consumed
 
+    def track_fused_chunk_async(self, recs, timestamps, base_frame_id,
+                                ms_per_frame=0.0) -> int:
+        """Pipelined-mode record processing for an ALREADY-collected chunk
+        (async mapping): the caller dispatched the next chunk before
+        collecting this one, so a keyframe event does NOT stop the chunk —
+        the remaining frames rode the same immutable bundle (exactly the
+        reference's tracking/mapping thread latency). The FIRST keyframe
+        candidate (mapper idle) is materialized from the on-device
+        snapshot, inserted, and handed to the mapping worker.
+
+        Keyframe handling has two tiers:
+          * SOFT trigger (the reference's NeedNewKeyFrame fires while
+            inliers are still healthy): the insert happens here but
+            mapping runs on the worker and the device bundle is swapped
+            in by the pipelined refresh — full throughput.
+          * HARD decline (inliers fall below 0.5x the reference-KF count
+            — the scene is outrunning the frozen bundle; measured
+            collapse 500 -> 67 inliers within 3 frames at motion=0.6):
+            the chunk BREAKS at that frame, the KF is inserted, the
+            mapping step runs to completion (barrier), and the bundle is
+            rebuilt before chunking resumes — the sync path's quality
+            exactly when it matters, the pipeline everywhere else.
+
+        Returns the number of frames consumed; < C means the caller must
+        discard any prefetched chunk and re-enter at that index (state
+        stays OK after a hard-KF barrier; LOST on a tracking failure).
+        """
+        import time as _time
+        fe, cfg = self.fused, self.cfg
+        C = len(timestamps)
+        consumed = 0
+        kf_list: list[int] = []
+        vref = None      # virtual n_ref after an in-chunk KF decision
+        hard = False
+        for c in range(C):
+            fid = base_frame_id + c
+            gate = cfg.min_inliers_reloc if (
+                fid - self.last_reloc_frame_id
+                < cfg.max_frames_between_kf) else cfg.min_inliers_local
+            n_inl = int(recs["n_inliers"][c])
+            ok = bool(recs["pre_ok"][c]) and n_inl >= gate
+            if not ok:
+                break
+            R = np.asarray(recs["R"][c])
+            t = np.asarray(recs["t"][c])
+            shim = _FrameShim(fid, timestamps[c], R, t)
+            self._dbg = dict(
+                motion_matches=int(recs["motion_matches"][c]),
+                motion_inliers=int(recs["motion_inliers"][c]),
+                fb_used=bool(recs["fb_ok"][c] and not recs["motion_ok"][c]),
+                local_inliers=n_inl,
+                local_visible=int(recs["n_visible"][c]),
+                fused=True, chunked=True,
+                t_track_ms=round(ms_per_frame, 2))
+            self._record(shim, ok_flag=True, n_inliers=n_inl)
+            self._fused_prev_pose = (R, t)
+            consumed += 1
+            # keyframe cadence must match the per-frame path (the sync
+            # loop creates one KF per ~3 frames on fast motion; capping
+            # at one per chunk starved the map and tripled async ATE).
+            # After an in-chunk decision the store's n_ref is stale, so
+            # later frames compare against the VIRTUAL reference count —
+            # the inlier count at the last decision, exactly what n_ref
+            # becomes once that frame is a keyframe.
+            accept_kf = not self.only_tracking and (
+                self.async_mapper is None
+                or self.async_mapper.queue_idle())
+            if vref is None:
+                need = self._need_new_keyframe(shim, n_inl)
+                # early-warning trigger: in pipelined mode the mapping
+                # response lags ~1 chunk, so fire as soon as the inlier
+                # count slips 15% below its recent peak — waiting for
+                # the reference-KF ratio (the sync criterion) leaves the
+                # insert mid-collapse
+                need = need or (
+                    not self.only_tracking
+                    and self._inl_peak >= 4 * cfg.min_inliers_local
+                    and n_inl < 0.75 * self._inl_peak
+                    and n_inl > cfg.min_matches_new_kf
+                    and self.store.n_keyframes() > 2)
+            else:
+                need = (n_inl < cfg.kf_ref_ratio * vref
+                        and n_inl > cfg.min_matches_new_kf)
+            if accept_kf and need and len(kf_list) < 1:
+                kf_list.append(c)
+                vref = n_inl
+                self.last_kf_frame_id = fid
+            # decline detector: inlier count vs a slowly-decaying peak of
+            # recent frames — an absolute reference (the ref-KF count)
+            # underestimates the live inlier level by 2-3x and missed
+            # the measured 500 -> 67 three-frame collapse entirely
+            self._inl_peak = max(self._inl_peak * 0.95, float(n_inl))
+            if not self.only_tracking and self.store.n_keyframes() > 2 \
+                    and self._inl_peak >= 4 * cfg.min_inliers_local \
+                    and n_inl < 0.45 * self._inl_peak:
+                hard = True
+                if not kf_list or kf_list[-1] != c:
+                    kf_list.append(c)
+                    self.last_kf_frame_id = fid
+                break
+
+        if consumed >= 2:
+            R1, t1 = self._fused_prev_pose
+            R0 = np.asarray(recs["R"][consumed - 2])
+            t0_ = np.asarray(recs["t"][consumed - 2])
+            Rv = R1 @ R0.T
+            self.velocity = (Rv, t1 - Rv @ t0_)
+
+        if consumed < C and not hard:
+            fe.invalidate()
+            self.state = LOST
+            self.velocity = None
+            return consumed
+
+        if kf_list:
+            t1 = _time.perf_counter()
+            # anchor snapshot for re-anchoring the new KF's pose from the
+            # bundle-snapshot frame into the CURRENT map frame (async BA
+            # may have moved the anchor): T_new = T_rel * T_anchor_now
+            if fe.rec_anchor is not None:
+                anchor_info = fe.rec_anchor
+            else:
+                anchor_info = (fe.anchor_kf, fe.anchor_R, fe.anchor_t)
+            kf_at = kf_list[0]
+            am = self.async_mapper
+            if am is not None and not hard:
+                # SOFT keyframe: the ENTIRE event (snapshot readback +
+                # insert + mapping) runs on the worker — the materialize
+                # readback queues behind the in-flight chunk and the
+                # mapper's dispatches, and blocking the tracking thread
+                # on it measured 830 ms median per keyframe
+                snaps = fe._chunk_snaps
+                ids = fe.bundle_ids
+                ts_kf = timestamps[kf_at]
+                fid_kf = base_frame_id + kf_at
+                am.submit_task(lambda: self._deferred_kf_insert(
+                    snaps, kf_at, ts_kf, fid_kf, ids, anchor_info))
+            else:
+                frame = fe.materialize_chunk_frame(
+                    kf_at, timestamps[kf_at], base_frame_id + kf_at)
+                self._reanchor_frame(frame, anchor_info)
+                kf = self._insert_keyframe(frame)
+                if am is not None and hard:
+                    # barrier: drain the worker, then run ONLY the
+                    # coverage-critical stages (triangulate + fuse) here;
+                    # local BA + loop detection go back to the worker —
+                    # the next chunk needs new LANDMARKS, not BA polish
+                    am.join()
+                    self.mapper.process_keyframe(kf, do_ba=False)
+                    am.submit_task(lambda: self._finish_kf_async(kf))
+                elif am is not None:
+                    am.submit(kf)
+                else:
+                    self.mapper.process_keyframe(kf)
+                self.last_frame = frame
+                if hard and self.store.kf_valid[kf]:
+                    # the next chunk must see the extended map
+                    with self.store.lock:
+                        fe.rebuild(kf, self.store.kf_mp[kf],
+                                   self.store.kf_R[kf],
+                                   self.store.kf_t[kf])
+                    self._fused_prev_pose = (self.store.kf_R[kf].copy(),
+                                             self.store.kf_t[kf].copy())
+            if self.metrics:
+                self.metrics[-1]["t_kf_ms"] = round(
+                    (_time.perf_counter() - t1) * 1e3, 2)
+        return consumed
+
+    def _reanchor_frame(self, frame, anchor_info):
+        """Rigidly move a snapshot-frame pose into the current map frame."""
+        anchor, a_R, a_t = anchor_info
+        if anchor >= 0 and self.store.kf_valid[anchor]:
+            R_cr = frame.R @ a_R.T
+            t_cr = frame.t - R_cr @ a_t
+            with self.store.lock:
+                frame.set_pose(
+                    R_cr @ self.store.kf_R[anchor],
+                    R_cr @ self.store.kf_t[anchor] + t_cr)
+
+    def _finish_kf_async(self, kf):
+        """Worker-side tail of a HARD keyframe event: the BA + loop
+        stages deferred out of the barrier. Returns None so the worker
+        does not run process_keyframe again."""
+        if self.store.kf_valid[kf]:
+            self.mapper.local_bundle_adjustment(kf)
+            self.mapper.cull_keyframes(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf)
+        elif self.relocalizer is not None and \
+                self.relocalizer.kfdb is not None:
+            self.relocalizer.kfdb.add(kf)
+        return None
+
+    def _deferred_kf_insert(self, snaps, j, timestamp, frame_id,
+                            bundle_ids, anchor_info):
+        """Worker-side half of a SOFT keyframe event (see submit_task)."""
+        frame = self.fused.materialize_from(snaps, j, timestamp, frame_id,
+                                            bundle_ids)
+        self._reanchor_frame(frame, anchor_info)
+        kf = self._insert_keyframe(frame, record_dbg=False)
+        self.last_frame = frame
+        return kf
+
+    def _ref_tracked(self) -> int:
+        """Well-observed landmark count of the reference KF (the n_ref of
+        Tracking::NeedNewKeyFrame's c2 condition)."""
+        s = self.store
+        if self.ref_kf < 0 or not s.kf_valid[self.ref_kf]:
+            return 0
+        min_obs = 3 if s.n_keyframes() > 2 else 2
+        ref_mp = s.kf_mp[self.ref_kf]
+        ref_mp = ref_mp[ref_mp >= 0]
+        return int((s.mp_nobs[ref_mp] >= min_obs).sum()) if len(ref_mp) \
+            else 0
+
     # ------------------------------------------------------------------
     def _record(self, frame, ok_flag, n_inliers):
         rec = dict(frame_id=frame.frame_id, timestamp=frame.timestamp,
@@ -417,20 +634,45 @@ class Tracking:
         if frame.R is not None:
             rec["R"] = frame.R.copy()
             rec["t"] = frame.t.copy()
-            rec["ref_kf"] = self.ref_kf
             # relative pose to the reference KF at track time, so the
             # final trajectory benefits from later BA/loop refinement of
-            # the KF (parity: mlRelativeFramePoses in SaveTrajectoryTUM)
-            if self.ref_kf >= 0:
-                with self.store.lock:   # vs async mapper write-backs
-                    R_rw = self.store.kf_R[self.ref_kf].copy()
-                    t_rw = self.store.kf_t[self.ref_kf].copy()
+            # the KF (parity: mlRelativeFramePoses in SaveTrajectoryTUM).
+            # Fused frames anchor to the BUNDLE's anchor KF at its
+            # SNAPSHOT pose: the tracked pose lives in the snapshot's map
+            # frame, and async BA may have moved the KF since — mixing
+            # the two frames corrupts the relative pose (measured 40x
+            # ATE blowup on the async path).
+            fe = self.fused
+            use_snap = (rec.get("fused") and fe is not None
+                        and fe.state is not None
+                        and getattr(fe, "anchor_kf", -1) >= 0)
+            if use_snap:
+                # chunked records use the anchor captured at the chunk's
+                # DISPATCH (a pipelined device-side refresh may have
+                # swapped the live anchor since)
+                if fe.rec_anchor is not None:
+                    ref, R_rw, t_rw = fe.rec_anchor
+                else:
+                    ref = fe.anchor_kf
+                    R_rw, t_rw = fe.anchor_R, fe.anchor_t
+            else:
+                ref = self.ref_kf
+                if ref >= 0:
+                    with self.store.lock:   # vs async mapper write-backs
+                        R_rw = self.store.kf_R[ref].copy()
+                        t_rw = self.store.kf_t[ref].copy()
+            rec["ref_kf"] = ref
+            if ref >= 0:
                 R_cr = frame.R @ R_rw.T
                 rec["R_cr"] = R_cr
                 rec["t_cr"] = frame.t - R_cr @ t_rw
+                # last frame's KF-relative pose: lets the fused bundle
+                # refresh RE-ANCHOR the tracked pose to the post-BA map
+                # (UpdateLastFrame parity for the device-resident path)
+                self.last_rel = (R_cr, rec["t_cr"], ref)
                 # anchor the frame to its reference KF so UpdateLastFrame
                 # can re-compose against the KF's post-BA pose
-                frame.ref_kf = self.ref_kf
+                frame.ref_kf = ref
                 frame.R_cr = R_cr
                 frame.t_cr = rec["t_cr"]
         self.metrics.append(rec)
@@ -791,7 +1033,7 @@ class Tracking:
               and n_inliers > cfg.min_matches_new_kf)
         return bool((c1a or c1b or c1c) and c2)
 
-    def _insert_keyframe(self, frame: Frame) -> int:
+    def _insert_keyframe(self, frame: Frame, record_dbg: bool = True) -> int:
         """Store-side keyframe insertion (cheap, synchronous): the part
         of CreateNewKeyFrame that must happen on the tracking thread."""
         s = self.store
@@ -809,7 +1051,8 @@ class Tracking:
                 self._create_depth_points(frame, kf)
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
-        self._dbg["new_kf"] = kf
+        if record_dbg:      # worker-thread inserts must not touch _dbg
+            self._dbg["new_kf"] = kf
         return kf
 
     def _create_keyframe(self, frame: Frame):
@@ -911,6 +1154,8 @@ class Tracking:
             self.fused.state = None
             self.fused.version = -1
         self._fused_prev_pose = None
+        self.last_rel = None
+        self._inl_peak = 0.0
         self.state = NOT_INITIALIZED
         self.velocity = None
         self.vo = False

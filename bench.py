@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--sync-mapping", action="store_true",
                     help="run the mapping stage inline (default: worker "
                          "thread, reference-style)")
+    ap.add_argument("--motion", type=float, default=0.25,
+                    help="synthetic camera speed (0.25 ~ TUM fr1 pace)")
+    ap.add_argument("--skip-warmup-pass", action="store_true",
+                    help="skip the untimed full-sequence compile pass")
     args = ap.parse_args()
 
     # persistent compilation cache: reruns skip the multi-minute compile
@@ -64,13 +68,30 @@ def main():
                  width=640, height=480)
     n_frames = args.frames
     t0 = time.perf_counter()
+    # motion=0.25 ~ TUM fr1 per-frame camera motion at 30 fps — the
+    # baseline's ~30 fps CPU figure is measured on such sequences
+    # (BASELINE.md); motion=0.6 sweeps the whole scene in ~4 s and
+    # stresses keyframe cadence ~5x harder than the baseline workload
     imgs, _, _ = synthetic.render_plane_sequence(
-        cam, n_frames=n_frames, seed=0, motion=0.6)
+        cam, n_frames=n_frames, seed=0, motion=args.motion)
     print(f"[bench] rendered {n_frames} frames in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    slam = SlamSystem(cam, SlamConfig(
-        async_mapping=not args.sync_mapping))
+    def build():
+        return SlamSystem(cam, SlamConfig(
+            async_mapping=not args.sync_mapping))
+
+    slam = build()
+    if not args.skip_warmup_pass:
+        # untimed: compile every kernel (incl. worker/loop/GBA paths) on
+        # the MAIN thread — mid-run XLA compiles cost 20-40 s each on
+        # this transport, and compiles issued from the mapping worker
+        # can deadlock against concurrent dispatch (SlamSystem.precompile
+        # docstring)
+        t0 = time.perf_counter()
+        slam.precompile()
+        print(f"[bench] precompile (all kernels, main thread): "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def run(frames, timestamps):
         if args.chunk > 1:
@@ -83,11 +104,6 @@ def main():
     ts = [i / 30.0 for i in range(n_frames)]
     t0 = time.perf_counter()
     run(imgs[:args.warmup], ts[:args.warmup])
-    if args.chunk > 1:
-        # compile the per-frame fallback path too (used on mid-chunk
-        # failures / tail frames) so it never lands in the timed region
-        slam.track_monocular(imgs[args.warmup - 1],
-                             timestamp=ts[args.warmup - 1])
     print(f"[bench] warmup ({args.warmup} frames incl. compile): "
           f"{time.perf_counter() - t0:.1f}s; state={slam.tracking.state} "
           f"kf={slam.store.n_keyframes()} mp={slam.store.n_map_points()}",

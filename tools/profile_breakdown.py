@@ -1,0 +1,264 @@
+"""Device-time breakdown of the tracking hot path on the real chip.
+
+VERDICT r3 missing #2: "Round 4 cannot optimize what round 3 didn't
+measure." This script times each stage of the fused tracking pipeline
+(transport RTT, ORB extraction, megastep, chunked scan, keyframe-event
+kernels) with block_until_ready fences and repeats, estimates FLOPs for
+the dominant matmuls, and prints an MFU figure plus a per-stage table.
+
+Run:  python tools/profile_breakdown.py [--chunk 8] [--reps 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_CACHE_DIR", "/tmp/jax_cache")
+
+
+def timeit(fn, reps=20, warmup=2):
+    """Median wall time of fn() (fn must block on completion)."""
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ar_orbslam2_tpu.core.camera import Camera
+    from ar_orbslam2_tpu.data import synthetic
+    from ar_orbslam2_tpu.frontend.orb import OrbConfig, extract_orb
+    from ar_orbslam2_tpu.system import fused
+    from ar_orbslam2_tpu.system.tracking import TrackingConfig
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+    rows = []
+
+    def row(name, ms, note=""):
+        rows.append((name, ms, note))
+        print(f"{name:<34} {ms:9.2f} ms   {note}", file=sys.stderr)
+
+    cam = Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                 width=640, height=480)
+    cfg = TrackingConfig()
+    orb_cfg = OrbConfig(n_features=cfg.max_kp)
+
+    imgs, _, _ = synthetic.render_plane_sequence(cam, n_frames=args.chunk,
+                                                 seed=0, motion=0.6)
+    img_stack_h = np.stack(imgs)
+
+    # ---- transport RTT -------------------------------------------------
+    x_small = np.zeros(8, np.float32)
+    t_up = timeit(lambda: jax.device_put(x_small).block_until_ready(),
+                  args.reps)
+    row("upload 32B (RTT)", t_up * 1e3)
+    y_dev = jax.device_put(x_small)
+    t_down = timeit(lambda: np.asarray(y_dev), args.reps)
+    row("readback 32B (RTT)", t_down * 1e3)
+    t_upimg = timeit(
+        lambda: jax.device_put(img_stack_h).block_until_ready(), args.reps)
+    row(f"upload {args.chunk}x640x480 u8", t_upimg * 1e3,
+        f"{img_stack_h.nbytes / 1e6:.1f} MB")
+
+    # tiny jitted dispatch round trip
+    f_noop = jax.jit(lambda x: x + 1)
+    xd = jax.device_put(x_small)
+    f_noop(xd).block_until_ready()
+    t_disp = timeit(lambda: f_noop(xd).block_until_ready(), args.reps)
+    row("noop dispatch+sync", t_disp * 1e3)
+
+    # ---- ORB extraction ------------------------------------------------
+    img_d = jax.device_put(imgs[0])
+    extract_orb(img_d, orb_cfg)["uv"].block_until_ready()
+    t_ex = timeit(
+        lambda: extract_orb(img_d, orb_cfg)["uv"].block_until_ready(),
+        args.reps)
+    row("extract_orb (1 frame, on-dev)", t_ex * 1e3)
+
+    # extraction sub-stages (separate jits; includes per-call dispatch)
+    from ar_orbslam2_tpu.frontend import orb as orb_mod
+    img_f = img_d.astype(jnp.float32)
+
+    def _sub(name, fn):
+        g = jax.jit(fn)
+        g(img_f).block_until_ready()
+        t = timeit(lambda: g(img_f).block_until_ready(), args.reps)
+        row(f"  {name}", t * 1e3)
+        return t
+
+    _sub("fast_score_map L0", lambda im: orb_mod.fast_score_map(im, 7.0))
+    _sub("select_keypoints L0",
+         lambda im: orb_mod.select_keypoints(
+             orb_mod.fast_score_map(im, 7.0), 217, orb_cfg.cell,
+             orb_cfg.per_cell_k)[0])
+    _sub("gaussian_blur7 L0", orb_mod.gaussian_blur7)
+
+    def _ic(im):
+        ys = jnp.full((217,), 100, jnp.int32)
+        xs = jnp.full((217,), 100, jnp.int32)
+        return orb_mod.ic_angles(im, ys, xs)
+    _sub("ic_angles 217kp L0", _ic)
+
+    def _brief(im):
+        ys = jnp.full((217,), 100, jnp.int32)
+        xs = jnp.full((217,), 100, jnp.int32)
+        ang = jnp.zeros((217,), jnp.float32)
+        return orb_mod.brief_descriptors(im, ys, xs, ang)
+    _sub("brief 217kp L0", _brief)
+
+    # pyramid resize chain
+    def _resizes(im):
+        shapes = orb_mod.level_shapes(480, 640, orb_cfg)
+        out = []
+        x = im
+        for l in range(1, orb_cfg.n_levels):
+            x = jax.image.resize(x, shapes[l], "linear")
+            out.append(jnp.sum(x))
+        return jnp.stack(out)
+    _sub("pyramid resizes (7 levels)", _resizes)
+
+    # ---- megastep ------------------------------------------------------
+    # build a realistic state: run a few frames through a SlamSystem
+    from ar_orbslam2_tpu.system.slam import SlamConfig, SlamSystem
+    slam = SlamSystem(cam, SlamConfig())
+    imgs30, _, _ = synthetic.render_plane_sequence(cam, n_frames=30,
+                                                  seed=0, motion=0.6)
+    for i in range(30):
+        slam.track_monocular(imgs30[i], timestamp=i / 30.0)
+    fe = slam.tracking.fused
+    if fe is None or fe.state is None:
+        print("WARN: fused state not live; skipping megastep timings",
+              file=sys.stderr)
+    else:
+        feats = fe.extract(imgs30[-1])
+        jax.block_until_ready(feats)
+
+        def _mega():
+            st, rec = fused.track_megastep(
+                cam, fe.state, feats["uv"], feats["desc_bits"],
+                feats["octave"], feats["valid"], feats["angle"],
+                scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
+                min_track_matches=cfg.min_track_matches,
+                min_inliers_track=cfg.min_inliers_track)
+            jax.block_until_ready(rec)
+        _mega()
+        t_mega = timeit(_mega, args.reps)
+        row("track_megastep (on-dev feats)", t_mega * 1e3)
+
+        # chunked scan: extraction+megastep x chunk in one dispatch
+        st0 = jax.device_get(fe.state)
+
+        def _chunk():
+            st = jax.device_put(st0)
+            st2, recs, snaps = fused.track_chunk(
+                cam, orb_cfg, st, jnp.asarray(img_stack_h),
+                scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
+                min_track_matches=cfg.min_track_matches,
+                min_inliers_track=cfg.min_inliers_track)
+            jax.device_get(recs)
+        _chunk()
+        t_chunk = timeit(_chunk, max(args.reps // 2, 5))
+        row(f"track_chunk ({args.chunk} frames e2e)", t_chunk * 1e3,
+            f"{t_chunk * 1e3 / args.chunk:.1f} ms/frame")
+
+    # ---- pose optimization alone --------------------------------------
+    from ar_orbslam2_tpu.estimation.pose_opt import pose_optimization
+    L = cfg.n_local_mp
+    P = cfg.max_kp
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (L, 3)) + jnp.array([0., 0., 5.])
+    uv = jax.random.uniform(key, (P, 2)) * 400 + 100
+    oct_ = jnp.zeros(P, jnp.int32)
+    matched = jnp.arange(P) < 200
+    Rl = jnp.eye(3)
+    tl = jnp.zeros(3)
+    g = jax.jit(lambda: pose_optimization(Rl, tl, pos[:P], uv, oct_,
+                                          matched, cam))
+    jax.block_until_ready(g())
+    t_po = timeit(lambda: jax.block_until_ready(g()), args.reps)
+    row("pose_optimization (4x10 LM)", t_po * 1e3)
+
+    # ---- Hamming matmul (search_local_points core) ---------------------
+    from ar_orbslam2_tpu.ops import hamming as H
+    s1 = jnp.asarray(np.random.randint(0, 2, (L, 256), np.int8) * 2 - 1)
+    s2 = jnp.asarray(np.random.randint(0, 2, (P, 256), np.int8) * 2 - 1)
+    gm = jax.jit(lambda a, b: H.hamming_matrix(a, b))
+    gm(s1, s2).block_until_ready()
+    t_ham = timeit(lambda: gm(s1, s2).block_until_ready(), args.reps)
+    flops = 2 * L * P * 256
+    row("hamming 4096x1024x256", t_ham * 1e3,
+        f"{flops / t_ham / 1e12:.3f} TFLOP/s")
+
+    # ---- local BA kernel ----------------------------------------------
+    from ar_orbslam2_tpu.estimation.local_ba import bundle_adjust
+    C, Pp, O = 24, 4096, 16
+    rng = np.random.default_rng(0)
+    cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    cam_t = rng.normal(size=(C, 3)).astype(np.float32) * 0.1
+    cam_fixed = np.zeros(C, bool); cam_fixed[0] = True
+    cam_valid = np.ones(C, bool)
+    pts = rng.normal(size=(Pp, 3)).astype(np.float32) + [0, 0, 5]
+    pt_valid = np.ones(Pp, bool)
+    obs_cam = rng.integers(0, C, (Pp, O)).astype(np.int32)
+    obs_uv = rng.uniform(100, 500, (Pp, O, 2)).astype(np.float32)
+    obs_oct = np.zeros((Pp, O), np.int32)
+    obs_valid = np.ones((Pp, O), bool)
+    d = jax.device_put(dict(cam_R=cam_R, cam_t=cam_t, cam_fixed=cam_fixed,
+                            cam_valid=cam_valid, pts=pts,
+                            pt_valid=pt_valid, obs_cam=obs_cam,
+                            obs_uv=obs_uv, obs_oct=obs_oct,
+                            obs_valid=obs_valid))
+
+    def _ba():
+        res = bundle_adjust(d["cam_R"], d["cam_t"], d["cam_fixed"],
+                            d["cam_valid"], d["pts"], d["pt_valid"],
+                            d["obs_cam"], d["obs_uv"], d["obs_oct"],
+                            d["obs_valid"], cam, n_iters_1=5, n_iters_2=10)
+        jax.block_until_ready(res["cost"])
+    _ba()
+    t_ba = timeit(_ba, max(args.reps // 2, 5))
+    row(f"local BA C={C} P={Pp} O={O} (15it)", t_ba * 1e3)
+
+    # ---- MFU estimate for the steady-state frame ----------------------
+    # dominant per-frame matmul FLOPs (fp32-equivalent):
+    #   local search hamming: L x P x 256 MAC
+    #   motion search hamming: P x P x 256
+    #   fallback (skipped on common path)
+    per_frame_flops = 2 * (L * P + P * P) * 256
+    if fe is not None and fe.state is not None:
+        ms_frame = t_chunk * 1e3 / args.chunk
+        # v5e peak: 394 TFLOP/s bf16, ~98 TFLOP/s fp32-ish; use bf16 peak
+        peak = 394e12
+        mfu = per_frame_flops / (t_chunk / args.chunk) / peak
+        row("per-frame matmul FLOPs", per_frame_flops / 1e9,
+            "GFLOP (not ms)")
+        print(json.dumps({"metric": "tracking_mfu", "value": round(mfu, 6),
+                          "unit": "fraction_of_bf16_peak",
+                          "ms_per_frame": round(ms_frame, 2)}))
+    out = {n: round(ms, 3) for n, ms, _ in rows}
+    print(json.dumps({"breakdown_ms": out}))
+
+
+if __name__ == "__main__":
+    main()
