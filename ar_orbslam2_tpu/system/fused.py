@@ -336,6 +336,7 @@ class FusedFrontend:
         self.anchor_R = None
         self.anchor_t = None
         self.rec_anchor = None  # anchor of the last COLLECTED chunk
+        self.rec_ids = None     # its slot->landmark table (at dispatch)
         self._bundle_epoch = 0  # bumped at every rebuild/refresh
         self._counter_lock = threading.Lock()
         L = cfg.n_local_mp
@@ -398,20 +399,25 @@ class FusedFrontend:
         return (records, snaps,
                 (self.anchor_kf, self.anchor_R, self.anchor_t),
                 (self.state["acc_visible"], self.state["acc_found"]),
-                self._bundle_epoch)
+                self._bundle_epoch, self.bundle_ids)
 
     def collect_chunk(self, handle):
         """Block on a dispatch_chunk handle; returns host records,
         re-points the snapshot buffer at that chunk, and exposes the
-        chunk's anchor snapshot as rec_anchor (for KF-relative records).
-        The post-chunk visit counters ride the SAME readback (readbacks
-        pay a ~24 ms floor each) and are folded into the store here —
-        unless a device-side refresh swapped the slot space since the
+        chunk's anchor snapshot as rec_anchor (for KF-relative records)
+        and its slot->landmark table as rec_ids (a device-side refresh
+        may have swapped the LIVE bundle_ids since the dispatch — the
+        chunk's snapshots hold OLD-bundle slot indices, and resolving
+        them through the new table silently bound keyframes to the wrong
+        landmarks). The post-chunk visit counters ride the SAME readback
+        (readbacks pay a ~24 ms floor each) and are folded into the
+        store here — unless a refresh swapped the slot space since the
         dispatch (the refresh remapped the live counters; these stale
         ones are already accounted for)."""
-        records, snaps, anchor, acc_pair, epoch = handle
+        records, snaps, anchor, acc_pair, epoch, ids = handle
         self._chunk_snaps = snaps
         self.rec_anchor = anchor
+        self.rec_ids = ids
         recs, acc_v, acc_f = jax.device_get((records,) + tuple(acc_pair))
         if epoch == self._bundle_epoch:
             self._fold_counters(dict(acc_visible=acc_v, acc_found=acc_f))
@@ -454,9 +460,14 @@ class FusedFrontend:
 
     def materialize_chunk_frame(self, j, timestamp, frame_id):
         """Materialize frame j of the last chunk (ONE batched readback of
-        that frame's snapshot slices + the counter fold)."""
+        that frame's snapshot slices + the counter fold). Slot bindings
+        resolve through the ids table CAPTURED AT THE CHUNK'S DISPATCH
+        (rec_ids): the live bundle_ids may have been swapped by a
+        pipelined refresh since."""
         from .frame import Frame
         sn = self._chunk_snaps
+        ids = self.rec_ids if getattr(self, "rec_ids", None) is not None \
+            else self.bundle_ids
         got = jax.device_get(dict(
             uv=sn["uv"][j], desc=sn["desc"][j], oct=sn["oct"][j],
             valid=sn["valid"][j], angle=sn["angle"][j],
@@ -473,7 +484,8 @@ class FusedFrontend:
         frame.set_pose(got["R"], got["t"])
         slot = np.asarray(got["slot"])
         bound = slot >= 0
-        mp = np.where(bound, self.bundle_ids[np.maximum(slot, 0)], -1)
+        mp = np.where(bound, ids[np.maximum(slot, 0)], -1)
+        mp = self.store.resolve_replacements(mp)
         live = bound & (mp >= 0) & self.store.mp_valid[np.maximum(mp, 0)]
         frame.mp[:] = np.where(live, mp, -1)
         return frame
@@ -574,14 +586,26 @@ class FusedFrontend:
             dmin=np.asarray(bundle["dmin"], np.float32),
             dmax=np.asarray(bundle["dmax"], np.float32),
             valid=np.asarray(bundle["valid"], bool))
+        # Rigid hand-off must track the OLD anchor's own pose update
+        # (snapshot -> current): T_prev' = (T_prev T_old_snap^-1) T_old_now.
+        # Composing onto the NEW anchor's pose instead displaced prev_R/t
+        # by the old->new relative transform even when BA moved nothing.
+        old = self.anchor_kf
+        if 0 <= old < s.cfg.max_keyframes and s.kf_valid[old]:
+            aRc = s.kf_R[old].astype(np.float32)
+            atc = s.kf_t[old].astype(np.float32)
+        else:
+            # old anchor culled: no rigid correction available — keep the
+            # tracked pose as-is (identity hand-off)
+            aRc, atc = self.anchor_R, self.anchor_t
         aRn = s.kf_R[anchor_kf].astype(np.float32)
         atn = s.kf_t[anchor_kf].astype(np.float32)
         with self._counter_lock:
             self.state = _refresh_step(
                 self.state, jax.device_put(host_bundle),
                 jnp.asarray(remap), jnp.asarray(self.anchor_R),
-                jnp.asarray(self.anchor_t), jnp.asarray(aRn),
-                jnp.asarray(atn))
+                jnp.asarray(self.anchor_t), jnp.asarray(aRc),
+                jnp.asarray(atc))
             # counter baselines follow the same slot permutation
             for base in ("_acc_base_vis", "_acc_base_fnd"):
                 old = getattr(self, base)
@@ -684,6 +708,7 @@ class FusedFrontend:
         self.anchor_R = s.kf_R[anchor_kf].copy()
         self.anchor_t = s.kf_t[anchor_kf].copy()
         self.rec_anchor = None
+        self.rec_ids = None     # snapshots from before this rebuild are dead
         self._bundle_epoch += 1
         L = self.cfg.n_local_mp
         self._acc_base_vis = np.zeros(L, np.int32)

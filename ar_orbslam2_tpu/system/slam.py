@@ -276,9 +276,12 @@ class SlamSystem:
         pending = None      # (start_i, base_fid, count, handle, ts_slice)
 
         def can_rebuild():
-            lf = t.last_frame
-            return (lf is not None and lf.R is not None and t.ref_kf >= 0
-                    and s.kf_valid[t.ref_kf])
+            # one consistent snapshot vs the worker's atomic publish of
+            # (ref_kf, last_kf_frame_id, last_frame) under store.lock
+            with s.lock:
+                lf = t.last_frame
+                return (lf is not None and lf.R is not None
+                        and t.ref_kf >= 0 and s.kf_valid[t.ref_kf])
 
         while i < n or pending is not None:
             if pending is None:
@@ -307,9 +310,19 @@ class SlamSystem:
 
             # prefetch the next chunk; a refresh never drains the
             # pipeline — refresh_bundle_device chains AFTER the in-flight
-            # chunk and re-anchors its final state on device
+            # chunk and re-anchors its final state on device. Refresh
+            # BEFORE the prefetch dispatch whenever the mapper published:
+            # refreshing only after record processing made the new map
+            # effective TWO chunks late, and a fast sweep outran it
+            # (measured: 463 -> 38 inliers across 16 frames while the
+            # worker's triangulated points sat outside the bundle)
             nxt = None
             if n - i >= chunk:
+                with s.lock:
+                    stale = (not fe.ready() and t.ref_kf >= 0
+                             and s.kf_valid[t.ref_kf])
+                    if stale:
+                        fe.refresh_bundle_device(t.ref_kf)
                 base = self._next_frame_id
                 handle = fe.dispatch_chunk(np.stack(images[i:i + chunk]))
                 self._next_frame_id = base + chunk
@@ -320,6 +333,7 @@ class SlamSystem:
             t0 = _time.perf_counter()
             recs = fe.collect_chunk(handle_p)
             ms = (_time.perf_counter() - t0) * 1e3 / cnt_p
+            epoch0 = fe._bundle_epoch
             consumed = t.track_fused_chunk_async(
                 recs, ts_p, base_p, ms_per_frame=ms)
             for c in range(consumed):
@@ -336,6 +350,16 @@ class SlamSystem:
                 i = start_p + consumed
                 pending = None
                 continue
+            if fe._bundle_epoch != epoch0 and nxt is not None:
+                # a HARD keyframe event rebuilt the device bundle while
+                # the prefetched chunk was in flight: that chunk rode the
+                # PRE-rebuild map mid-collapse and its frames are doomed
+                # (measured: consuming them went LOST -> full map reset).
+                # Discard it and re-dispatch against the fresh bundle.
+                _, base_n, _, _, _ = nxt
+                self._next_frame_id = base_n
+                i = nxt[0]
+                nxt = None
             # mapping wrote since this bundle was built: swap in the
             # current map (device-side, chains after the in-flight chunk)
             if not fe.ready() and t.ref_kf >= 0 and s.kf_valid[t.ref_kf]:
@@ -433,6 +457,23 @@ class SlamSystem:
             from .fused import _snap_slice
             if getattr(fe, "_chunk_snaps", None) is not None:
                 jax.block_until_ready(_snap_slice(fe._chunk_snaps, 0))
+        # LEGACY per-frame kernels (_motion_track/_bow_track/
+        # _local_map_track + their eager glue): the live system falls
+        # back here on any tracking failure or relocalization — in the
+        # r5 bench ONE such event cost 60+ s of mid-run compiles
+        # (jit__local_map_track 25.7s, jit__pallas_top2 24.7s, eager ops)
+        t = twin.tracking
+        t.fused = None
+        for j in range(2):       # motion-model path (static camera: OK)
+            twin.track_monocular(imgs[-1],
+                                 timestamp=(n_frames + 1 + j) / 30.0)
+        t.velocity = None        # forces the _bow_track fallback
+        twin.track_monocular(imgs[-1], timestamp=(n_frames + 3) / 30.0)
+        if t.relocalizer is not None and twin.store.n_keyframes() > 0:
+            t.state = "LOST"     # relocalization kernel set
+            t.velocity = None
+            twin.track_monocular(imgs[-1], timestamp=(n_frames + 4) / 30.0)
+        t.fused = fe
         if twin.tracking.loop_closer is not None:
             twin.tracking.loop_closer.precompile()
             # vocabulary self-training assignment shapes (worker-side)
@@ -441,12 +482,12 @@ class SlamSystem:
                          jnp.zeros((twin.tracking.loop_closer.kfdb.vocab
                                     .n_words, H.DESC_BITS), jnp.int8))
         # essential-graph + global-BA shapes (loop acceptance path runs
-        # them on the GBA thread)
-        try:
-            from ..mapping.global_ba import global_bundle_adjustment
-            global_bundle_adjustment(twin.store, twin.cam, n_iters=20)
-        except Exception:
-            pass
+        # them on the GBA thread). A failure here MUST be loud: silently
+        # skipping this leg leaves the GBA shapes uncompiled and a
+        # 20-100 s mid-run XLA compile lands in the steady state (the r4
+        # 1.07 fps bench collapse was exactly one such stall).
+        from ..mapping.global_ba import global_bundle_adjustment
+        global_bundle_adjustment(twin.store, twin.cam, n_iters=20)
         if twin.tracking.loop_closer is not None:
             import jax.numpy as jnp
             from ..estimation.pose_graph import optimize_essential_graph

@@ -167,7 +167,9 @@ class Tracking:
         self.init_frame: Frame | None = None
         self.metrics: list[dict] = []
         self.last_rel = None      # (R_cr, t_cr, ref_kf) of last OK frame
-        self._inl_peak = 0.0      # decaying inlier peak (decline detector)
+        self._inl_peak = 0.0      # max inliers SINCE LAST KF (c2_live ref)
+        self._inl_decay = 0.0     # decaying peak, survives KF inserts
+        #                           (hard-decline barrier reference)
         self.n_resets = 0
         self._dbg: dict = {}     # per-frame stage diagnostics -> metrics
         # device-resident local-map bundle cache: between keyframes the map
@@ -299,7 +301,13 @@ class Tracking:
             t1 = _time.perf_counter()
             frame = fe.materialize_frame(timestamp, frame_id)
             self._create_keyframe(frame)
-            # post-BA pose of the new KF anchors the next frame
+            # post-BA pose of the new KF anchors the next frame. The
+            # rebuild deliberately DROPS the velocity model: have_vel=
+            # False routes the next frame through the brute-force
+            # fallback — a full re-acquisition against the fresh bundle
+            # that resets any accumulated windowed-search drift (passing
+            # the velocity through was measured to let the drift ride
+            # through the KF event and collapse tracking within ~4 frames)
             kf = self.ref_kf
             fe.rebuild(kf, self.store.kf_mp[kf], self.store.kf_R[kf],
                        self.store.kf_t[kf])
@@ -397,6 +405,8 @@ class Tracking:
             else:
                 self._create_keyframe(frame)
                 kf = self.ref_kf
+                # no velocity: the next frame re-acquires via the
+                # brute-force fallback (drift reset, see track_fused)
                 fe.rebuild(kf, self.store.kf_mp[kf], self.store.kf_R[kf],
                            self.store.kf_t[kf])
                 self._fused_prev_pose = (self.store.kf_R[kf].copy(),
@@ -475,18 +485,10 @@ class Tracking:
                 self.async_mapper is None
                 or self.async_mapper.queue_idle())
             if vref is None:
+                # _need_new_keyframe includes the decline trigger (fire
+                # 25% below the decayed inlier peak) — essential here,
+                # where the mapping response lags ~1 chunk
                 need = self._need_new_keyframe(shim, n_inl)
-                # early-warning trigger: in pipelined mode the mapping
-                # response lags ~1 chunk, so fire as soon as the inlier
-                # count slips 15% below its recent peak — waiting for
-                # the reference-KF ratio (the sync criterion) leaves the
-                # insert mid-collapse
-                need = need or (
-                    not self.only_tracking
-                    and self._inl_peak >= 4 * cfg.min_inliers_local
-                    and n_inl < 0.75 * self._inl_peak
-                    and n_inl > cfg.min_matches_new_kf
-                    and self.store.n_keyframes() > 2)
             else:
                 need = (n_inl < cfg.kf_ref_ratio * vref
                         and n_inl > cfg.min_matches_new_kf)
@@ -494,14 +496,15 @@ class Tracking:
                 kf_list.append(c)
                 vref = n_inl
                 self.last_kf_frame_id = fid
-            # decline detector: inlier count vs a slowly-decaying peak of
-            # recent frames — an absolute reference (the ref-KF count)
-            # underestimates the live inlier level by 2-3x and missed
-            # the measured 500 -> 67 three-frame collapse entirely
-            self._inl_peak = max(self._inl_peak * 0.95, float(n_inl))
+            # hard decline: the scene is outrunning the frozen bundle
+            # (measured 500 -> 67 inliers within 3 frames at motion=0.6)
+            # — break the chunk and rebuild behind a mapping barrier.
+            # Reference = the DECAYING peak (_inl_decay): it survives
+            # worker-side KF inserts, which reset _inl_peak and would
+            # otherwise blind this detector exactly mid-collapse
             if not self.only_tracking and self.store.n_keyframes() > 2 \
-                    and self._inl_peak >= 4 * cfg.min_inliers_local \
-                    and n_inl < 0.45 * self._inl_peak:
+                    and self._inl_decay >= 4 * cfg.min_inliers_local \
+                    and n_inl < 0.45 * self._inl_decay:
                 hard = True
                 if not kf_list or kf_list[-1] != c:
                     kf_list.append(c)
@@ -530,7 +533,12 @@ class Tracking:
                 anchor_info = fe.rec_anchor
             else:
                 anchor_info = (fe.anchor_kf, fe.anchor_R, fe.anchor_t)
-            kf_at = kf_list[0]
+            # on a hard break insert the BREAK frame (kf_list[-1]): it
+            # carries the forward coverage the next chunk needs, and it
+            # is the frame last_kf_frame_id was set to — inserting the
+            # earlier soft candidate instead silently dropped the hard
+            # frame's KF while the cadence gate believed it existed
+            kf_at = kf_list[-1] if hard else kf_list[0]
             am = self.async_mapper
             if am is not None and not hard:
                 # SOFT keyframe: the ENTIRE event (snapshot readback +
@@ -539,7 +547,12 @@ class Tracking:
                 # mapper's dispatches, and blocking the tracking thread
                 # on it measured 830 ms median per keyframe
                 snaps = fe._chunk_snaps
-                ids = fe.bundle_ids
+                # ids table matching THIS chunk's snapshots (a pipelined
+                # refresh may have swapped the live bundle_ids since its
+                # dispatch — resolving old slots through the new table
+                # bound keyframes to wrong landmarks)
+                ids = fe.rec_ids if fe.rec_ids is not None \
+                    else fe.bundle_ids
                 ts_kf = timestamps[kf_at]
                 fid_kf = base_frame_id + kf_at
                 am.submit_task(lambda: self._deferred_kf_insert(
@@ -563,7 +576,8 @@ class Tracking:
                     self.mapper.process_keyframe(kf)
                 self.last_frame = frame
                 if hard and self.store.kf_valid[kf]:
-                    # the next chunk must see the extended map
+                    # the next chunk must see the extended map; no
+                    # velocity -> brute-force re-acquisition (drift reset)
                     with self.store.lock:
                         fe.rebuild(kf, self.store.kf_mp[kf],
                                    self.store.kf_R[kf],
@@ -602,12 +616,18 @@ class Tracking:
 
     def _deferred_kf_insert(self, snaps, j, timestamp, frame_id,
                             bundle_ids, anchor_info):
-        """Worker-side half of a SOFT keyframe event (see submit_task)."""
+        """Worker-side half of a SOFT keyframe event (see submit_task).
+
+        last_frame is published under store.lock together with the
+        ref_kf/last_kf_frame_id writes inside _insert_keyframe, so the
+        tracking thread's rebuild gating never observes a torn
+        (new ref_kf, old last_frame) pair."""
         frame = self.fused.materialize_from(snaps, j, timestamp, frame_id,
                                             bundle_ids)
         self._reanchor_frame(frame, anchor_info)
-        kf = self._insert_keyframe(frame, record_dbg=False)
-        self.last_frame = frame
+        with self.store.lock:       # RLock: one atomic publish with the
+            kf = self._insert_keyframe(frame, record_dbg=False)
+            self.last_frame = frame  # ref_kf/last_kf_frame_id writes
         return kf
 
     def _ref_tracked(self) -> int:
@@ -630,6 +650,17 @@ class Tracking:
                    n_kf=self.store.n_keyframes(),
                    n_mp=self.store.n_map_points(),
                    **self._dbg)
+        # max inlier count SINCE THE LAST KEYFRAME INSERT — the live
+        # "reference matches" level the KF triggers compare against
+        # (reset to 0 by _insert_keyframe / on tracking failure); the
+        # decaying peak survives KF inserts (a mid-collapse insert must
+        # not blind the hard-decline barrier)
+        if ok_flag:
+            self._inl_peak = max(self._inl_peak, float(n_inliers))
+            self._inl_decay = max(self._inl_decay * 0.95, float(n_inliers))
+        else:
+            self._inl_peak = 0.0
+            self._inl_decay = 0.0
         self._dbg = {}
         if frame.R is not None:
             rec["R"] = frame.R.copy()
@@ -1031,6 +1062,24 @@ class Tracking:
         c1c = depth_sensor and (n_inliers < 0.25 * n_ref or need_close)
         c2 = ((n_inliers < ratio * n_ref or need_close)
               and n_inliers > cfg.min_matches_new_kf)
+        if isinstance(frame, _FrameShim):
+            # Fused path: ref_kf is PINNED to the last-created KF between
+            # keyframe events (the reference re-elects it per frame to
+            # the max-covisible KF, Tracking::UpdateLocalKeyFrames), so
+            # raw n_ref is unrepresentative in both directions — a KF
+            # created mid-collapse leaves n_ref so low c2 never fires
+            # again (the r4 tail-LOST regression); a KF created healthy
+            # leaves n_ref above what matching delivers and per-frame c2
+            # churns (the r2 regression). The honest reference level is
+            # the MAX INLIER COUNT SINCE THE LAST KF INSERT
+            # (self._inl_peak): c2's 0.9 ratio against it fires 10%
+            # into a decline, while the pose is still healthy. The
+            # 4x-min floor keeps Poisson noise (~sqrt(N)/N) under the
+            # 10% threshold; below it only the time trigger fires.
+            c2_live = (self._inl_peak >= 4 * cfg.min_inliers_local
+                       and n_inliers < ratio * self._inl_peak
+                       and n_inliers > cfg.min_matches_new_kf)
+            return bool((c1a and c2) or c2_live)
         return bool((c1a or c1b or c1c) and c2)
 
     def _insert_keyframe(self, frame: Frame, record_dbg: bool = True) -> int:
@@ -1049,8 +1098,13 @@ class Tracking:
             s.add_observations(mps[live], kf, feats[live])
             if frame.depth is not None and self.cfg.depth_threshold_m > 0:
                 self._create_depth_points(frame, kf)
-        self.ref_kf = kf
-        self.last_kf_frame_id = frame.frame_id
+            # publish ref_kf/last_kf_frame_id INSIDE the store lock: the
+            # deferred (worker-thread) insert otherwise exposes a torn
+            # trio to the tracking thread's rebuild/cadence reads
+            self.ref_kf = kf
+            self.last_kf_frame_id = frame.frame_id
+            # new reference window for the live KF triggers
+            self._inl_peak = 0.0
         if record_dbg:      # worker-thread inserts must not touch _dbg
             self._dbg["new_kf"] = kf
         return kf
@@ -1156,6 +1210,7 @@ class Tracking:
         self._fused_prev_pose = None
         self.last_rel = None
         self._inl_peak = 0.0
+        self._inl_decay = 0.0
         self.state = NOT_INITIALIZED
         self.velocity = None
         self.vo = False
