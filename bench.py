@@ -109,6 +109,14 @@ def main():
           f"kf={slam.store.n_keyframes()} mp={slam.store.n_map_points()}",
           file=sys.stderr)
 
+    # ZERO-COMPILE CONTRACT: after precompile + warmup, the steady state
+    # must trigger no XLA compile — one mid-run compile costs 20-100 s on
+    # this transport and erases the benchmark (r4: 1.07 fps from exactly
+    # one such stall). The package-level backend_compile hook records
+    # every compile; anything after this mark is a precompile bug.
+    import ar_orbslam2_tpu as _pkg
+    compile_mark = _pkg.compile_log_mark()
+
     t0 = time.perf_counter()
     n_ok = 0
     n_timed = 0
@@ -138,6 +146,15 @@ def main():
             print(f"[bench] keyframe event ms: "
                   f"median={np.median(kf_ms):.0f} max={max(kf_ms):.0f} "
                   f"({len(kf_ms)} KFs)", file=sys.stderr)
+    late = _pkg.compiles_since(compile_mark)
+    print(f"[bench] compiles_after_warmup: {len(late)}", file=sys.stderr)
+    if late:
+        for _, secs, label in late:
+            print(f"[bench]   POST-WARMUP COMPILE ({secs:.1f}s): {label}",
+                  file=sys.stderr)
+        print("[bench] WARNING: steady state recompiled — precompile() "
+              "is missing shapes; fps above includes compile stalls",
+              file=sys.stderr)
     emit(fps)
     slam.shutdown()       # join mapping worker / pending global BA
 
