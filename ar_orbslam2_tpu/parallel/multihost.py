@@ -53,3 +53,54 @@ def global_mesh(axis: str = "mp"):
     from . import dist_ba
 
     return dist_ba.make_mesh(jax.devices(), axis=axis)
+
+
+def selftest() -> int:
+    """One process's half of the 2-process integration check
+    (tests/test_multihost.py spawns two of these on localhost): form the
+    cross-process mesh, run one sharded psum, verify the global sum.
+
+    Run directly:
+        JAX_COORDINATOR_ADDRESS=127.0.0.1:PORT JAX_NUM_PROCESSES=2 \
+        JAX_PROCESS_ID=i python -m ar_orbslam2_tpu.parallel.multihost
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    started = initialize_from_env()
+    if not started:
+        print("multihost: no coordinator configured (single-process)")
+        return 2
+    n_proc = jax.process_count()
+    n_dev = jax.device_count()
+    mesh = global_mesh()
+    print(f"multihost: process {jax.process_index()}/{n_proc}, "
+          f"{n_dev} global devices, mesh {mesh.shape}")
+    # one sharded reduction across the whole job: x_i = i + 1 on global
+    # device i; psum must see sum(1..n_dev) on every device
+    per = 4
+    sharding = NamedSharding(mesh, P("mp"))
+    global_shape = (n_dev * per,)
+    arrs = [
+        jax.device_put(
+            np.full(per, 1.0 + d.id, np.float32), d)
+        for d in jax.local_devices()
+    ]
+    x = jax.make_array_from_single_device_arrays(global_shape, sharding,
+                                                 arrs)
+
+    @jax.jit
+    def total(x):
+        return jnp.sum(x)
+
+    got = float(total(x))
+    want = per * sum(range(1, n_dev + 1))
+    ok = abs(got - want) < 1e-3
+    print(f"multihost: psum {got} want {want} -> {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(selftest())

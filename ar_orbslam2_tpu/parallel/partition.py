@@ -17,21 +17,12 @@ from __future__ import annotations
 import numpy as np
 
 
-def keyframe_blocks(store, n_shards: int):
-    """Split the covisibility-ordered keyframe chain into n contiguous
-    blocks of ~equal landmark-anchor mass.
-
-    Ordering: BFS over the covisibility graph from the first valid KF
+def covis_order(store):
+    """BFS order over the covisibility graph from the first valid KF
     (falls back to id order for disconnected parts) — neighbors in the
-    graph stay in the same or adjacent blocks.
-    Returns block id per keyframe slot, (max_keyframes,) int32 (-1 for
-    invalid slots).
-    """
+    graph stay adjacent in the order. Returns a list of keyframe ids."""
     s = store
     kf_ids = [int(k) for k in s.keyframe_ids()]
-    if not kf_ids:
-        return np.full(s.cfg.max_keyframes, -1, np.int32)
-    # BFS order over covisibility
     order = []
     seen = set()
     for root in kf_ids:
@@ -48,6 +39,20 @@ def keyframe_blocks(store, n_shards: int):
                 if n not in seen:
                     seen.add(n)
                     frontier.append(n)
+    return order
+
+
+def keyframe_blocks(store, n_shards: int):
+    """Split the covisibility-ordered keyframe chain into n contiguous
+    blocks of ~equal landmark-anchor mass.
+
+    Returns block id per keyframe slot, (max_keyframes,) int32 (-1 for
+    invalid slots).
+    """
+    s = store
+    if not len(s.keyframe_ids()):
+        return np.full(s.cfg.max_keyframes, -1, np.int32)
+    order = covis_order(s)
     # anchor mass per KF = landmarks whose FIRST observation is that KF
     first_kf = s.mp_obs_kf[s.mp_valid, 0]
     mass = np.bincount(first_kf[first_kf >= 0],
@@ -98,3 +103,56 @@ def shard_camera_footprint(store, assign, n_shards: int):
         kfs = s.mp_obs_kf[mps]
         out.append(np.unique(kfs[kfs >= 0]))
     return out
+
+
+def banded_layout(store, n_shards: int, obs_bucket=None):
+    """The layout the BANDED camera exchange needs (dist_ba.py's
+    dist_bundle_adjust_banded): cameras permuted to covisibility-BFS
+    order so each landmark shard's camera footprint is a contiguous
+    band, landmarks grouped per shard (equal padded counts), and per-
+    shard band offsets + a common band width W.
+
+    Returns dict:
+      kf_order (n_kf,) keyframe ids in BFS order (the camera axis)
+      shard_mp (n_shards, P_s) landmark ids per shard, -1 padded
+      band_off (n_shards,) int32 — band start in the permuted cam axis
+      band_w   int — common band width (bucketed power of two)
+    or None if the map is empty.
+    """
+    s = store
+    order = covis_order(s)
+    if not order:
+        return None
+    pos_of = np.full(s.cfg.max_keyframes, -1, np.int64)
+    pos_of[order] = np.arange(len(order))
+    assign, counts = partition_landmarks(s, n_shards)
+
+    O = s.cfg.max_obs if obs_bucket is None else min(s.cfg.max_obs,
+                                                     obs_bucket)
+    P_s = _round_up(max(int(counts.max()), 1), 64)
+    shard_mp = np.full((n_shards, P_s), -1, np.int64)
+    band_lo = np.zeros(n_shards, np.int32)
+    extent = 1
+    for b in range(n_shards):
+        mps = np.nonzero(assign == b)[0]
+        shard_mp[b, :len(mps)] = mps
+        if len(mps):
+            okf = s.mp_obs_kf[mps, :O]
+            ps = pos_of[okf[okf >= 0]]
+            ps = ps[ps >= 0]
+            if len(ps):
+                band_lo[b] = int(ps.min())
+                extent = max(extent, int(ps.max()) - int(ps.min()) + 1)
+    C = len(order)
+    W = 16
+    while W < extent:
+        W *= 2
+    W = min(W, C)
+    # clamp offsets so every band fits inside [0, C)
+    band_off = np.minimum(band_lo, max(C - W, 0)).astype(np.int32)
+    return dict(kf_order=np.asarray(order, np.int64), shard_mp=shard_mp,
+                band_off=band_off, band_w=int(W))
+
+
+def _round_up(n, q):
+    return ((n + q - 1) // q) * q

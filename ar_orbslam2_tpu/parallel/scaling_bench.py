@@ -93,7 +93,18 @@ def main(argv=None):
     ap.add_argument("--opp", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize jax.distributed from the "
+                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                         "JAX_PROCESS_ID env (multi-host slice); the "
+                         "bench then measures ONLY the full global mesh")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        from .multihost import initialize_from_env
+        if not initialize_from_env():
+            print("[scaling] --distributed: no coordinator in env; "
+                  "continuing single-process", file=sys.stderr)
 
     import jax
 
@@ -102,7 +113,12 @@ def main(argv=None):
     cam = Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0)
     prob = build_problem(args.cams, args.points, args.opp)
     n_avail = len(jax.devices())
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    if args.distributed and jax.process_count() > 1:
+        # a cross-process mesh must span every process's devices — only
+        # the full mesh is measurable
+        sizes = [n_avail]
+    else:
+        sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
 
     rows = []
     t1 = None
