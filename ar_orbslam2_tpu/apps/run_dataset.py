@@ -16,7 +16,20 @@ import numpy as np
 
 from ..data import datasets
 from ..utils.config import load_settings
-from .common import build_system, run_sequence
+from .common import build_system, precompile, run_sequence
+
+
+def _enable_compile_cache():
+    """Persistent jit cache: dataset reruns skip the multi-minute compile.
+    TPU-only — XLA:CPU AOT entries are machine-feature-sensitive and
+    poison forced-CPU runs on heterogeneous hosts."""
+    import os
+
+    import jax
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main(argv=None):
@@ -29,12 +42,25 @@ def main(argv=None):
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--no-loops", action="store_true")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="fused chunk size for mono tracking (0/1 = "
+                         "per-frame)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run the mapping stage on a worker thread "
+                         "(reference-style pipeline)")
+    ap.add_argument("--no-precompile", action="store_true",
+                    help="skip the startup kernel warmup (first frames "
+                         "will pay JIT compiles)")
     args = ap.parse_args(argv)
 
+    _enable_compile_cache()
     st = load_settings(args.settings)
     sensor = ("STEREO" if args.stereo else
               "RGBD" if args.dataset == "tum-rgbd" else "MONOCULAR")
-    slam = build_system(st, sensor=sensor, enable_loops=not args.no_loops)
+    slam = build_system(st, sensor=sensor, enable_loops=not args.no_loops,
+                        async_mapping=args.async_mapping)
+    if not args.no_precompile and sensor == "MONOCULAR":
+        precompile(slam)
 
     def frames():
         if args.dataset == "tum":
@@ -75,7 +101,9 @@ def main(argv=None):
                 yield t, dict(image_u8=datasets._imread_gray(p))
 
     run_sequence(slam, frames(), metrics_path=args.metrics,
-                 traj_prefix=args.out)
+                 traj_prefix=args.out,
+                 chunk=args.chunk if sensor == "MONOCULAR" else 0)
+    slam.shutdown()
     print(f"keyframes: {slam.store.n_keyframes()} "
           f"map points: {slam.store.n_map_points()}")
 
