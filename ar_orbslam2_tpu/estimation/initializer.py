@@ -305,13 +305,15 @@ def initialize_two_view(uv1, uv2, valid, K, key, n_hyp=256, sigma=1.0):
         ts = jnp.stack([t, -t, t, -t])
         inl = out["inliers_f"]
 
-    n_good, parallax, xws, goods = check_rt_batch(Rs, ts, uv1, uv2, inl, K,
-                                                  sigma2=sigma * sigma)
-    n_good = np.asarray(n_good)
-    parallax = np.asarray(parallax)
+    out_b = check_rt_batch(Rs, ts, uv1, uv2, inl, K, sigma2=sigma * sigma)
+    # ONE batched readback (per-array np.asarray paid a ~14 ms transfer
+    # floor each on the live transport)
+    import jax as _jax
+    n_good, parallax, xws, goods, Rs, ts, n_inl = _jax.device_get(
+        out_b + (Rs, ts, jnp.sum(inl.astype(jnp.int32))))
     best = int(np.argmax(n_good))
     max_good = int(n_good[best])
-    n_inl = int(jnp.sum(inl.astype(jnp.int32)))
+    n_inl = int(n_inl)
     n_similar = int((n_good > 0.7 * max_good).sum())
     # reference gates: enough points, unambiguous winner, enough parallax
     if (max_good < MIN_TRIANGULATED or max_good < 0.5 * n_inl  # noqa: W504

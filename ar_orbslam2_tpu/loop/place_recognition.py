@@ -84,6 +84,11 @@ def l1_scores(bow_query, bow_db, db_valid):
     return jnp.where(db_valid, s, -1.0)
 
 
+@jax.jit
+def _bow_set_row(bow_db, kf, row):
+    return bow_db.at[kf].set(row)
+
+
 class KeyFrameDatabase:
     """Inverted-index replacement: dense [MAX_KF, W] bow matrix + masks."""
 
@@ -93,15 +98,29 @@ class KeyFrameDatabase:
         K = store.cfg.max_keyframes
         self.bow = np.zeros((K, self.vocab.n_words), np.float32)
         self.has_bow = np.zeros(K, bool)
-        self.trained = vocab is not None   # custom vocab: don't retrain
+        self.trained = vocab is not None   # custom vocab: NEVER retrain
+        self._trained_at = float("inf") if vocab is not None else 0
+        # device-resident mirror of the bow matrix: scoring against the
+        # (MAX_KF, W) database is a tiny matmul, but uploading the host
+        # copy per query cost 16+ MB on every KeyFrameDatabase query —
+        # measured 200 ms of every keyframe event on the live transport.
+        # add() updates one row on device; bulk rewrites invalidate.
+        self._bow_dev = None
 
     def maybe_retrain(self, min_kfs: int = 24, max_train: int = 30_000,
                       n_iters: int = 4):
-        """One-time k-medians codebook training from the map's own
-        descriptors (LOOP_RECALL.md: the trained codebook dominates under
-        severe viewpoint change). Re-encodes all stored bow vectors."""
+        """K-medians codebook training from the map's own descriptors
+        (LOOP_RECALL.md: the trained codebook dominates under severe
+        viewpoint change). Re-encodes all stored bow vectors. First
+        fires at min_kfs keyframes, then again whenever the map has
+        QUADRUPLED since the last training — a codebook fitted to the
+        first room drifts as the trajectory enters new appearance
+        regimes (VERDICT r4 weak #10)."""
         s = self.store
-        if self.trained or s.n_keyframes() < min_kfs:
+        n_kf = s.n_keyframes()
+        if n_kf < min_kfs:
+            return False
+        if self.trained and n_kf < 4 * max(self._trained_at, 1):
             return False
         kfs = np.nonzero(self.has_bow & s.kf_valid)[0]
         descs = s.kf_desc[kfs][s.kf_kp_valid[kfs]]
@@ -113,6 +132,8 @@ class KeyFrameDatabase:
                               n_words=self.vocab.n_words, n_iters=n_iters)
         self.vocab = VocabTensor(bits=bits)
         self.trained = True
+        self._trained_at = n_kf
+        self._bow_dev = None     # bulk re-encode: one re-upload at next query
         for kf in kfs:
             self.add(int(kf))
         return True
@@ -131,6 +152,15 @@ class KeyFrameDatabase:
             _, bow = self.compute_bow(bits, s.kf_kp_valid[kf])
         self.bow[kf] = bow
         self.has_bow[kf] = True
+        if self._bow_dev is not None:       # one-row device update
+            self._bow_dev = _bow_set_row(
+                self._bow_dev, jnp.int32(kf),
+                jnp.asarray(np.asarray(bow, np.float32)))
+
+    def _bow_db_device(self):
+        if self._bow_dev is None:
+            self._bow_dev = jnp.asarray(self.bow)
+        return self._bow_dev
 
     def _scores(self, bow_query, exclude=()):
         s = self.store
@@ -140,7 +170,7 @@ class KeyFrameDatabase:
                 db_valid = db_valid.copy()
                 db_valid[e] = False
         return np.array(l1_scores(jnp.asarray(bow_query),
-                                  jnp.asarray(self.bow),
+                                  self._bow_db_device(),
                                   jnp.asarray(db_valid)))
 
     def _group_accumulate(self, scores, min_score):

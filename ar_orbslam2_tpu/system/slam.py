@@ -114,8 +114,12 @@ class SlamSystem:
 
         if self._orb_cfg is None:
             self._orb_cfg = OrbConfig(n_features=self.cfg.tracking.max_kp)
+        import jax
         out = extract_orb(jnp.asarray(image_u8), self._orb_cfg)
-        return {k: np.asarray(v) for k, v in out.items()}
+        # ONE batched readback — per-key np.asarray paid a ~14 ms
+        # transfer floor each (profiled: 6 keys = 84 ms/frame on the
+        # legacy path)
+        return jax.device_get(out)
 
     def make_frame(self, image_u8=None, features=None, timestamp=0.0,
                    uvr=None, depth=None) -> Frame:

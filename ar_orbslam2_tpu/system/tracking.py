@@ -170,6 +170,7 @@ class Tracking:
         self._inl_peak = 0.0      # max inliers SINCE LAST KF (c2_live ref)
         self._inl_decay = 0.0     # decaying peak, survives KF inserts
         #                           (hard-decline barrier reference)
+        self._low_streak = 0      # consecutive sub-threshold frames
         self.n_resets = 0
         self._dbg: dict = {}     # per-frame stage diagnostics -> metrics
         # device-resident local-map bundle cache: between keyframes the map
@@ -501,10 +502,18 @@ class Tracking:
             # — break the chunk and rebuild behind a mapping barrier.
             # Reference = the DECAYING peak (_inl_decay): it survives
             # worker-side KF inserts, which reset _inl_peak and would
-            # otherwise blind this detector exactly mid-collapse
-            if not self.only_tracking and self.store.n_keyframes() > 2 \
-                    and self._inl_decay >= 4 * cfg.min_inliers_local \
-                    and n_inl < 0.45 * self._inl_decay:
+            # otherwise blind this detector exactly mid-collapse. Two
+            # guards keep it a LOSS RESCUE, not a churn source (each
+            # barrier costs ~300 ms): the absolute 4x-gate cap (a stale
+            # pre-KF peak fired barriers at healthy inlier counts), and
+            # a 2-frame streak (single-frame dips at refresh/rebuild
+            # hand-offs recover by themselves on the next frame)
+            low = (not self.only_tracking and self.store.n_keyframes() > 2
+                   and self._inl_decay >= 4 * cfg.min_inliers_local
+                   and n_inl < 0.45 * self._inl_decay
+                   and n_inl < 4 * cfg.min_inliers_local)
+            self._low_streak = self._low_streak + 1 if low else 0
+            if low and self._low_streak >= 2:
                 hard = True
                 if not kf_list or kf_list[-1] != c:
                     kf_list.append(c)
@@ -555,8 +564,11 @@ class Tracking:
                     else fe.bundle_ids
                 ts_kf = timestamps[kf_at]
                 fid_kf = base_frame_id + kf_at
+                t_sub = _time.perf_counter()
                 am.submit_task(lambda: self._deferred_kf_insert(
                     snaps, kf_at, ts_kf, fid_kf, ids, anchor_info))
+                self._dbg_submit_ms = round(
+                    (_time.perf_counter() - t_sub) * 1e3, 2)
             else:
                 frame = fe.materialize_chunk_frame(
                     kf_at, timestamps[kf_at], base_frame_id + kf_at)
@@ -587,6 +599,10 @@ class Tracking:
             if self.metrics:
                 self.metrics[-1]["t_kf_ms"] = round(
                     (_time.perf_counter() - t1) * 1e3, 2)
+                self.metrics[-1]["kf_hard"] = hard
+                if getattr(self, "_dbg_submit_ms", None) is not None:
+                    self.metrics[-1]["t_kf_submit_ms"] = self._dbg_submit_ms
+                    self._dbg_submit_ms = None
         return consumed
 
     def _reanchor_frame(self, frame, anchor_info):
@@ -887,10 +903,10 @@ class Tracking:
                 jnp.asarray(self.velocity[0]), jnp.asarray(self.velocity[1]),
                 jnp.asarray(last.R), jnp.asarray(last.t))
             pos, signs, oct_, live, mp_ids = self._gather_frame_landmarks(last)
-            R, t, n_inl, n_match, kp_match = _motion_track(
+            R, t, n_inl, n_match, kp_match = jax.device_get(_motion_track(
                 self.cam, R_pred, t_pred, pos, signs, oct_, live,
                 frame.dev("uv"), frame.signs,
-                frame.dev("octave"), frame.dev("valid"))
+                frame.dev("octave"), frame.dev("valid")))
             n_inl = int(n_inl)
             self._dbg["motion_matches"] = int(n_match)
             self._dbg["motion_inliers"] = n_inl
@@ -917,11 +933,11 @@ class Tracking:
         t0 = self.last_frame.t if (self.last_frame is not None
                                    and self.last_frame.t is not None) \
             else s.kf_t[kf]
-        R, t, n_inl, n_match, kp_match = _bow_track(
+        R, t, n_inl, n_match, kp_match = jax.device_get(_bow_track(
             self.cam, jnp.asarray(R0), jnp.asarray(t0), pos, signs,
             jnp.asarray(live), jnp.asarray(s.kf_octave[kf]),
             frame.dev("uv"), frame.signs,
-            frame.dev("octave"), frame.dev("valid"))
+            frame.dev("octave"), frame.dev("valid")))
         n_inl = int(n_inl)
         if int(n_match) < 15 or n_inl < cfg.min_inliers_track:
             return False, 0
@@ -994,14 +1010,15 @@ class Tracking:
         if len(local_kf) == 0:
             return False, 0
         bundle = self._gather_local_bundle(local_kf)
-        R, t, n_inl, kp_match, visible, inlier = _local_map_track(
-            self.cam, jnp.asarray(frame.R), jnp.asarray(frame.t),
-            bundle["pos"], bundle["signs"],
-            bundle["normal"], bundle["dmin"],
-            bundle["dmax"], bundle["valid"],
-            frame.dev("uv"), frame.signs,
-            frame.dev("octave"), frame.dev("valid"),
-            scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
+        R, t, n_inl, kp_match, visible, inlier = jax.device_get(
+            _local_map_track(
+                self.cam, jnp.asarray(frame.R), jnp.asarray(frame.t),
+                bundle["pos"], bundle["signs"],
+                bundle["normal"], bundle["dmin"],
+                bundle["dmax"], bundle["valid"],
+                frame.dev("uv"), frame.signs,
+                frame.dev("octave"), frame.dev("valid"),
+                scale_factor=cfg.scale_factor, n_levels=cfg.n_levels))
         n_inl = int(n_inl)
         ids = bundle["ids"]
         vis = np.asarray(visible) & (ids >= 0)
@@ -1211,6 +1228,7 @@ class Tracking:
         self.last_rel = None
         self._inl_peak = 0.0
         self._inl_decay = 0.0
+        self._low_streak = 0
         self.state = NOT_INITIALIZED
         self.velocity = None
         self.vo = False

@@ -143,9 +143,17 @@ def main():
         kf_ms = [m["t_kf_ms"] for m in slam.tracking.metrics
                  if "t_kf_ms" in m]
         if kf_ms:
+            hard = [m["t_kf_ms"] for m in slam.tracking.metrics
+                    if m.get("kf_hard")]
+            soft = [m["t_kf_ms"] for m in slam.tracking.metrics
+                    if "t_kf_ms" in m and not m.get("kf_hard")]
             print(f"[bench] keyframe event ms: "
                   f"median={np.median(kf_ms):.0f} max={max(kf_ms):.0f} "
-                  f"({len(kf_ms)} KFs)", file=sys.stderr)
+                  f"({len(kf_ms)} KFs: {len(hard)} hard "
+                  f"median={np.median(hard) if hard else 0:.0f}, "
+                  f"{len(soft)} soft "
+                  f"median={np.median(soft) if soft else 0:.0f})",
+                  file=sys.stderr)
     late = _pkg.compiles_since(compile_mark)
     print(f"[bench] compiles_after_warmup: {len(late)}", file=sys.stderr)
     if late:
