@@ -461,6 +461,16 @@ class SlamSystem:
             from .fused import _snap_slice
             if getattr(fe, "_chunk_snaps", None) is not None:
                 jax.block_until_ready(_snap_slice(fe._chunk_snaps, 0))
+        # deferred/hard keyframe pose re-alignment (_refresh_kf_pose):
+        # async-only, so the synchronous twin never traces it — without
+        # this the FIRST worker-side KF insert compiles mid-run
+        from .tracking import _bound_pose_opt
+        P = self.cfg.tracking.max_kp
+        jax.block_until_ready(_bound_pose_opt(
+            self.cam, jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32), jnp.zeros((P, 3), jnp.float32),
+            jnp.zeros((P, 2), jnp.float32), jnp.zeros((P,), jnp.int32),
+            jnp.zeros((P,), bool)))
         # LEGACY per-frame kernels (_motion_track/_bow_track/
         # _local_map_track + their eager glue): the live system falls
         # back here on any tracking failure or relocalization — in the

@@ -116,6 +116,18 @@ def _local_map_track(cam, R0, t0, mp_pos, mp_signs, mp_normal, mp_dmin,
             jnp.where(inlier, idx, -1), visible, inlier)
 
 
+@partial(jax.jit, static_argnames=("cam",))
+def _bound_pose_opt(cam, R0, t0, xw, uv, oct_, valid):
+    """Motion-only BA on FIXED keypoint->landmark bindings (no search).
+    Used to re-align a deferred keyframe's pose to the live map: its
+    chi2-inlier associations are trusted, only the landmark positions
+    may have moved under the concurrent mapper BA."""
+    res = pose_optimization_compact(R0, t0, xw, uv, oct_, valid, cam,
+                                    uv.shape[0])
+    inl = res["inlier"] & valid
+    return res["R"], res["t"], jnp.sum(inl.astype(jnp.int32)), inl
+
+
 @partial(jax.jit, static_argnames=())
 def _init_match(uv1, signs1, valid1, angles1, uv2, signs2, valid2, angles2):
     return matcher.search_for_initialization(
@@ -528,10 +540,26 @@ class Tracking:
             self.velocity = (Rv, t1 - Rv @ t0_)
 
         if consumed < C and not hard:
-            fe.invalidate()
-            self.state = LOST
-            self.velocity = None
-            return consumed
+            # A frozen-bundle outrun can kill pre_ok within ONE chunk
+            # (measured: 456 -> 0 inliers across 4 frames — the 2-frame
+            # streak + absolute cap that keep the hard trigger from
+            # churning also let a cliff-edge collapse fall straight
+            # through to the gate). If the scene was healthy a few
+            # frames ago this is an outrun, not a visual loss: run the
+            # hard-KF rescue (peak-frame KF + mapping barrier + bundle
+            # rebuild) and re-enter against the extended map instead of
+            # going LOST.
+            if (not self.only_tracking and self.store.n_keyframes() > 2
+                    and consumed > 0
+                    and self._inl_decay >= 4 * cfg.min_inliers_local):
+                hard = True
+                if not kf_list or kf_list[-1] != consumed - 1:
+                    kf_list.append(consumed - 1)
+            else:
+                fe.invalidate()
+                self.state = LOST
+                self.velocity = None
+                return consumed
 
         if kf_list:
             t1 = _time.perf_counter()
@@ -542,12 +570,23 @@ class Tracking:
                 anchor_info = fe.rec_anchor
             else:
                 anchor_info = (fe.anchor_kf, fe.anchor_R, fe.anchor_t)
-            # on a hard break insert the BREAK frame (kf_list[-1]): it
-            # carries the forward coverage the next chunk needs, and it
-            # is the frame last_kf_frame_id was set to — inserting the
-            # earlier soft candidate instead silently dropped the hard
-            # frame's KF while the cadence gate believed it existed
-            kf_at = kf_list[-1] if hard else kf_list[0]
+            # on a hard break insert the HEALTHIEST frame since the last
+            # KF decision, not the collapse frame: the break frame was
+            # tracked at near-gate inliers against the outrun bundle and
+            # its drifted pose mis-anchors every landmark triangulated
+            # from it (measured: collapse-born KFs carried 10-20x the
+            # trajectory error of calm ones, and GBA could not repair
+            # the wrong associations). The peak frame holds nearly the
+            # same forward coverage with a sound pose; the break frame
+            # itself re-enters the per-frame path against the rebuilt
+            # bundle (caller re-enters at `consumed`).
+            if hard:
+                lo = kf_list[0] + 1 if len(kf_list) > 1 else 0
+                inl_win = np.asarray(recs["n_inliers"][lo:consumed])
+                kf_at = (lo + int(np.argmax(inl_win))) if len(inl_win) \
+                    else kf_list[-1]
+            else:
+                kf_at = kf_list[0]
             am = self.async_mapper
             if am is not None and not hard:
                 # SOFT keyframe: the ENTIRE event (snapshot readback +
@@ -570,16 +609,26 @@ class Tracking:
                 self._dbg_submit_ms = round(
                     (_time.perf_counter() - t_sub) * 1e3, 2)
             else:
+                if am is not None and hard:
+                    # barrier FIRST: the live re-track below must see
+                    # the worker's completed map writes
+                    am.join()
                 frame = fe.materialize_chunk_frame(
                     kf_at, timestamps[kf_at], base_frame_id + kf_at)
                 self._reanchor_frame(frame, anchor_info)
+                if hard:
+                    # re-align the pose to the live map on the frame's
+                    # own bindings before insertion (see
+                    # _refresh_kf_pose). Insert even if few inliers
+                    # survive — a hard KF's forward coverage is what
+                    # rescues the next chunk.
+                    self._refresh_kf_pose(frame)
                 kf = self._insert_keyframe(frame)
                 if am is not None and hard:
-                    # barrier: drain the worker, then run ONLY the
-                    # coverage-critical stages (triangulate + fuse) here;
-                    # local BA + loop detection go back to the worker —
-                    # the next chunk needs new LANDMARKS, not BA polish
-                    am.join()
+                    # run ONLY the coverage-critical stages (triangulate
+                    # + fuse) here; local BA + loop detection go back to
+                    # the worker — the next chunk needs new LANDMARKS,
+                    # not BA polish
                     self.mapper.process_keyframe(kf, do_ba=False)
                     am.submit_task(lambda: self._finish_kf_async(kf))
                 elif am is not None:
@@ -604,6 +653,37 @@ class Tracking:
                     self.metrics[-1]["t_kf_submit_ms"] = self._dbg_submit_ms
                     self._dbg_submit_ms = None
         return consumed
+
+    def _refresh_kf_pose(self, frame) -> int:
+        """Re-optimize a deferred/hard keyframe's pose against the LIVE
+        positions of its own bindings before insertion.
+
+        The pipelined snapshot's pose was tracked against a bundle up to
+        two chunks stale; the rigid reanchor corrects the ANCHOR's
+        motion but not the non-rigid part of the mapper's BA updates.
+        This trusts the snapshot's chi2-inlier associations (a windowed
+        RE-search against the moved map fails exactly when it matters —
+        measured 4-6 inliers on healthy frames when BA had moved the
+        local map beyond the search radius) and re-runs motion-only BA
+        with the landmark positions read from the store NOW. Outlier
+        bindings are pruned; the pose is updated only when enough
+        inliers survive. Returns the surviving inlier count."""
+        s = self.store
+        mp = frame.mp
+        bound = mp >= 0
+        if int(bound.sum()) < 10:
+            return 0
+        xw = np.where(bound[:, None], s.mp_pos[np.maximum(mp, 0)],
+                      0.0).astype(np.float32)
+        R, t, n_inl, inl = jax.device_get(_bound_pose_opt(
+            self.cam, jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(xw), frame.dev("uv"), frame.dev("octave"),
+            jnp.asarray(bound)))
+        n_inl = int(n_inl)
+        if n_inl >= self.cfg.min_inliers_local:
+            frame.set_pose(np.asarray(R), np.asarray(t))
+            frame.mp[:] = np.where(np.asarray(inl), mp, -1)
+        return n_inl
 
     def _reanchor_frame(self, frame, anchor_info):
         """Rigidly move a snapshot-frame pose into the current map frame."""
@@ -641,6 +721,18 @@ class Tracking:
         frame = self.fused.materialize_from(snaps, j, timestamp, frame_id,
                                             bundle_ids)
         self._reanchor_frame(frame, anchor_info)
+        # Re-align the pose to the LIVE map before insertion (parity:
+        # the reference's tracking thread always optimizes against the
+        # current map under mMutexMapUpdate, src/Tracking.cc:≈770). The
+        # pipelined snapshot's pose rode a bundle up to two chunks
+        # stale; inserting it frozen bakes the accumulated drift into
+        # every landmark triangulated from this KF — measured: a full
+        # global BA could NOT repair such a map. A candidate whose
+        # bindings cannot re-converge on the live map is dropped:
+        # mid-collapse garbage is exactly what the decline/hard
+        # triggers will replace with a fresh candidate.
+        if self._refresh_kf_pose(frame) < self.cfg.min_inliers_local:
+            return None
         with self.store.lock:       # RLock: one atomic publish with the
             kf = self._insert_keyframe(frame, record_dbg=False)
             self.last_frame = frame  # ref_kf/last_kf_frame_id writes
@@ -1004,8 +1096,13 @@ class Tracking:
         self._local_bundle_cache = (key, dev)
         return dev
 
-    def _track_local_map(self, frame: Frame, n_inliers_in):
+    def _track_local_map(self, frame: Frame, n_inliers_in, dbg=None):
+        """dbg: debug-stats sink; defaults to the per-frame self._dbg.
+        Worker-thread callers (deferred KF re-track) pass their own dict
+        so they never mutate the tracking thread's in-flight record."""
         cfg, s = self.cfg, self.store
+        if dbg is None:
+            dbg = self._dbg
         local_kf = self._local_keyframes(frame)
         if len(local_kf) == 0:
             return False, 0
@@ -1023,10 +1120,10 @@ class Tracking:
         ids = bundle["ids"]
         vis = np.asarray(visible) & (ids >= 0)
         inl = np.asarray(inlier) & vis
-        self._dbg["local_n_mp"] = int((ids >= 0).sum())
-        self._dbg["local_visible"] = int(vis.sum())
-        self._dbg["local_inliers"] = n_inl
-        self._dbg["n_local_kf"] = len(local_kf)
+        dbg["local_n_mp"] = int((ids >= 0).sum())
+        dbg["local_visible"] = int(vis.sum())
+        dbg["local_inliers"] = n_inl
+        dbg["n_local_kf"] = len(local_kf)
         # visibility / found counters (MapPoint::IncreaseVisible/Found)
         s.mp_visible[ids[vis]] += 1
         s.mp_found[ids[inl]] += 1

@@ -1,4 +1,11 @@
 """Diagnose the pipelined/async tracking path (tests/test_async_pipeline)."""
+
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -61,6 +68,23 @@ def main():
     FusedFrontend.refresh_bundle_device = refresh_logged
     FusedFrontend.rebuild = rebuild_logged
 
+    from ar_orbslam2_tpu.system.tracking import Tracking
+    orig_rkp = Tracking._refresh_kf_pose
+    orig_dki = Tracking._deferred_kf_insert
+
+    def rkp_logged(self, frame):
+        n = orig_rkp(self, frame)
+        print(f"[refresh_kf_pose] frame={frame.frame_id} n_inl={n}",
+              flush=True)
+        return n
+
+    def dki_logged(self, snaps, j, ts, fid, ids, anchor):
+        kf = orig_dki(self, snaps, j, ts, fid, ids, anchor)
+        print(f"[deferred_insert] frame={fid} -> kf={kf}", flush=True)
+        return kf
+    Tracking._refresh_kf_pose = rkp_logged
+    Tracking._deferred_kf_insert = dki_logged
+
     from ar_orbslam2_tpu.mapping.async_mapper import AsyncMapper
     orig_submit = AsyncMapper.submit
     orig_task = AsyncMapper.submit_task
@@ -107,6 +131,11 @@ def main():
     okk = idk < len(gt)
     print("ATE(keyframes)", ate_rmse(t_k[okk], gt[idk[okk]],
                                      with_scale=True), flush=True)
+    sk, Rk_, trk = align_umeyama(t_k[okk], gt[idk[okk]], True)
+    kerr = np.linalg.norm((sk * (Rk_ @ t_k[okk].T)).T + trk - gt[idk[okk]],
+                          axis=1)
+    for fi, e in zip(idk[okk], kerr):
+        print(f"  KF frame={fi:3d} err={e:.4f}", flush=True)
     for m in slam.tracking.metrics:
         keys = ("frame_id", "state", "ok", "n_inliers", "motion_matches",
                 "motion_inliers", "fb_used", "local_visible", "new_kf",

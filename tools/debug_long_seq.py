@@ -3,6 +3,13 @@
 Replicates tests/test_slam_long_sequence.py's fixture with per-frame
 metric dumps so the failing tail is visible frame by frame.
 """
+
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"

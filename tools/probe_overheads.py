@@ -8,6 +8,13 @@ from __future__ import annotations
 
 import os
 import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import os
+import sys
 import threading
 import time
 

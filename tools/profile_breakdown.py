@@ -10,6 +10,13 @@ Run:  python tools/profile_breakdown.py [--chunk 8] [--reps 20]
 """
 from __future__ import annotations
 
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 import argparse
 import json
 import os

@@ -5,6 +5,13 @@ Run:  python tools/profile_device.py
 """
 from __future__ import annotations
 
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 import json
 import os
 import sys
